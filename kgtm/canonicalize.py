@@ -1,0 +1,102 @@
+"""Canonicalization: connected components by min-label propagation.
+
+Generalizes the reference's "first ladder hit canonicalizes the path"
+write-back (/root/reference/ontologytimemachine/utils/proxy_logic.py:111-141)
+to a transitive closure: surface forms that link to the same ontology — or to
+each other through shared mentions — collapse to one canonical id (the
+component's minimum label).
+
+Algorithm: plain min-label propagation over an undirected edge list
+(large-star/small-star would halve iterations on pathological chains; for
+entity-resolution graphs components are star-shaped and shallow, so plain
+propagation converges in 2-3 rounds).
+
+Scale notes (SURVEY.md §4 item 2):
+  * each iteration is one shuffle (edges ⋈ labels on src, then min per dst);
+    edges are canonicalized to both directions once, up front.
+  * ``localCheckpoint`` every iteration truncates lineage — without it the
+    plan doubles per round and the driver OOMs planning round ~15.
+  * convergence test is an aggregate (sum of label changes), not a collect
+    of labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """edges(src,dst) → (node, component) with component = min node id.
+
+    Node ids must be orderable (string or numeric). Returns every node that
+    appears in any edge. Self-loops are fine; duplicate edges are deduped.
+    """
+    # Undirected: materialize both directions once, dedupe.
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # Candidate labels flowing across edges: neighbor's current component.
+        prop = (
+            und.join(labels, und["a"] == labels["node"], "inner")
+            .select(F.col("b").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(linked: DataFrame) -> DataFrame:
+    """Collapse surface forms via shared ontology links.
+
+    Edges: surface ↔ ontology_iri for linked mentions. Two different surface
+    forms of the same ontology end up in one component whose canonical id is
+    the min label; by construction ontology IRIs sort deterministically, and
+    the component label for a linked cluster is stable across runs.
+
+    Returns (surface, canonical_id).
+    """
+    edges = (
+        linked.filter(F.col("is_linked"))
+        .select(F.col("surface").alias("src"), F.col("ontology_iri").alias("dst"))
+        .distinct()
+    )
+    comps = connected_components(edges)
+    return (
+        linked.select("surface")
+        .distinct()
+        .join(comps, F.col("surface") == F.col("node"), "left")
+        .select(
+            "surface",
+            F.coalesce(F.col("component"), F.col("surface")).alias("canonical_id"),
+        )
+    )

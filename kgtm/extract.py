@@ -1,0 +1,163 @@
+"""Mention detection + OpenIE-style triple extraction.
+
+The reference's extraction ancestor is the experiments harness: shell out to
+``rapper`` per file, parse to N-Triples, count triples, check the requested
+IRI appears in subject position (/root/reference/experiments/
+parse_ontologies.py:13-92). Here the unit is a transcript turn instead of an
+ontology file, and extraction is:
+
+  * mention detection — IRIs in text. Hot path is a pure column expression
+    (regexp_extract_all stays inside codegen); there is also a vectorized
+    pandas-UDF gazetteer matcher for non-IRI surface forms.
+  * triple extraction — rule-based SVO over sentences, as a vectorized
+    pandas UDF (Arrow batches; the .str/regex work is C-backed pandas, zero
+    per-row Python interpretation of Spark rows).
+
+UDF *bodies* are pure pd.Series → pd.Series functions, importable and
+unit-testable without Spark (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from kgtm.normalize import parse_iri_cols
+
+IRI_REGEX = r"https?://[A-Za-z0-9.\-]+(?:/[A-Za-z0-9./#_\-]*)?"
+
+# Verb lexicon for the rule-based SVO extractor (co-designed with kgtm.synth's
+# planted relation sentences but a separate code path — the golden triples are
+# planted at generation time, never derived from this extractor).
+SVO_VERBS = [
+    "uses",
+    "imports",
+    "extends",
+    "references",
+    "defines",
+    "deprecates",
+    "replaces",
+]
+
+_SVO_RE = re.compile(
+    r"(?P<subj>[A-Za-z][\w.\-]*|" + IRI_REGEX + r")\s+"
+    r"(?P<pred>" + "|".join(SVO_VERBS) + r")\s+"
+    r"(?P<obj>" + IRI_REGEX + r"|[A-Z][\w.\-]*)"
+)
+
+# ---------------------------------------------------------------------------
+# Mention detection — column-expression hot path
+# ---------------------------------------------------------------------------
+
+
+def iri_mentions_col(text: str | Column = "text") -> Column:
+    """array<string> of IRIs found in a text column (pure codegen expr)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(f"({IRI_REGEX})"), 1)
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """One row per detected IRI mention with parsed (scheme, host, path, frag).
+
+    mention_id is deterministic (no monotonically_increasing_id — that value
+    changes with partitioning and would break resume/idempotence): a hash of
+    the provenance key (conv_id, turn_idx, position, surface).
+    """
+    exploded = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(iri_mentions_col("text")).alias("pos", "surface"),
+    )
+    return exploded.select(
+        "conv_id",
+        "turn_idx",
+        F.xxhash64("conv_id", "turn_idx", "pos", "surface").alias("mention_id"),
+        "surface",
+        *parse_iri_cols("surface"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SVO triple extraction — vectorized pandas UDF
+# ---------------------------------------------------------------------------
+
+_TRIPLE_ELEM = StructType(
+    [
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj", StringType()),
+    ]
+)
+
+
+def svo_extract_series(texts: pd.Series) -> pd.Series:
+    """Pure UDF body: text → list[dict(subj,pred,obj)] via the SVO grammar.
+
+    Vectorized: str.findall is a single C-loop over the Arrow batch.
+    """
+    found = texts.fillna("").str.findall(_SVO_RE)
+    return found.map(
+        lambda ms: [{"subj": s, "pred": p, "obj": o} for (s, p, o) in ms]
+    )
+
+
+svo_extract_udf = F.pandas_udf(svo_extract_series, ArrayType(_TRIPLE_ELEM))
+
+
+def extract_triples(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, subj, pred, obj, conf) from per-turn text."""
+    with_arr = transcripts.select(
+        "conv_id", "turn_idx", svo_extract_udf(F.col("text")).alias("triples")
+    )
+    return with_arr.select(
+        "conv_id",
+        "turn_idx",
+        F.explode("triples").alias("t"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        F.lit(1.0).alias("conf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer mention matcher (non-IRI surface forms) — vectorized pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def make_gazetteer_matcher(labels: list[str]):
+    """Build a pure UDF body matching any of `labels` as whole words.
+
+    The gazetteer is broadcast-sized (the ontology dictionary is ≤ a few MB —
+    download_archivo_urls.py:13); the union regex is compiled once per
+    executor, applied per Arrow batch.
+    """
+    if not labels:
+        return lambda texts: pd.Series([[] for _ in range(len(texts))])
+    pattern = re.compile(
+        r"\b(" + "|".join(sorted(map(re.escape, labels), key=len, reverse=True)) + r")\b"
+    )
+
+    def match_series(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").str.findall(pattern)
+
+    return match_series
+
+
+def gazetteer_mentions(
+    transcripts: DataFrame, labels: list[str]
+) -> DataFrame:
+    matcher = make_gazetteer_matcher(labels)
+    udf = F.pandas_udf(matcher, ArrayType(StringType()))
+    return transcripts.select(
+        "conv_id", "turn_idx", F.posexplode(udf(F.col("text"))).alias("pos", "surface")
+    ).withColumn(
+        "mention_id", F.xxhash64("conv_id", "turn_idx", "pos", "surface")
+    )

@@ -1,0 +1,102 @@
+"""Entity linking: ladder-candidate broadcast join + min-rung pick.
+
+Set-oriented translation of the reference's first-hit-wins ladder
+(/root/reference/ontologytimemachine/utils/proxy_logic.py:88-144): generate
+ALL candidate keys per mention (kgtm.normalize.candidate_paths_col), inner
+broadcast-join against the ontology dictionary on (host, cand_path), keep the
+minimum rung per mention. "First ladder hit wins and canonicalizes the path"
+becomes a min_by over rung — the proof obligation from SURVEY.md §7 item (5);
+tests include cases where multiple rungs match different dictionary entries.
+
+Scale notes:
+  * The dictionary side is broadcast (1,816 rows in the reference; ≤ a few MB
+    even at 10^6 ontologies) — the mention side never shuffles for the join.
+  * The min-rung pick uses groupBy(mention_id).agg(min_by(...)) — with the
+    broadcast join there is exactly ONE shuffle in this stage, and map-side
+    partial aggregation compresses the ≤6 candidate rows per mention before
+    it. A Window(row_number) formulation would shuffle the same data but
+    cannot partial-aggregate; min_by is strictly better here.
+  * Hot dictionary hosts (semanticscience.org 265/1,816 entries — BASELINE.md
+    skew row) are a *broadcast* side concern only; no join-key skew exists on
+    the probe side because the join key includes the full path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgtm.normalize import candidate_paths_col
+
+
+def link_mentions(mentions: DataFrame, index: DataFrame) -> DataFrame:
+    """mentions(host, path, ...) × index(host, path, ontology_iri) → links.
+
+    Returns one row per mention: is_linked, ontology_iri, canonical_path,
+    rung (the winning ladder rung; NULL when unlinked).
+    """
+    cands = mentions.select(
+        "mention_id",
+        "conv_id",
+        "turn_idx",
+        "surface",
+        "host",
+        F.explode(candidate_paths_col("path")).alias("cand"),
+    ).select(
+        "mention_id",
+        "conv_id",
+        "turn_idx",
+        "surface",
+        "host",
+        F.col("cand.rung").alias("rung"),
+        F.col("cand.cand_path").alias("cand_path"),
+    )
+
+    dict_side = F.broadcast(
+        index.select(
+            F.col("host").alias("d_host"),
+            F.col("path").alias("d_path"),
+            "ontology_iri",
+        )
+    )
+
+    hits = cands.join(
+        dict_side,
+        (cands["host"] == dict_side["d_host"])
+        & (cands["cand_path"] == dict_side["d_path"]),
+        "inner",
+    )
+
+    best = hits.groupBy("mention_id").agg(
+        F.min_by(
+            F.struct("ontology_iri", "cand_path", "rung"), F.col("rung")
+        ).alias("best")
+    )
+
+    return (
+        mentions.join(best, "mention_id", "left")
+        .select(
+            "mention_id",
+            "conv_id",
+            "turn_idx",
+            "surface",
+            "host",
+            "path",
+            F.col("best").isNotNull().alias("is_linked"),
+            F.col("best.ontology_iri").alias("ontology_iri"),
+            F.col("best.cand_path").alias("canonical_path"),
+            F.col("best.rung").alias("rung"),
+        )
+    )
+
+
+def deny_unlinked(linked: DataFrame, restricted_access: bool) -> DataFrame:
+    """The deny gate (proxy_logic.py:39-44): under restrictedAccess, mentions
+    outside the dictionary get outcome 'denied' (403 analog); otherwise they
+    pass through as 'unlinked' (original upstream analog)."""
+    outcome = (
+        F.when(F.col("is_linked"), F.lit("linked"))
+        .when(F.lit(restricted_access), F.lit("denied"))
+        .otherwise(F.lit("unlinked"))
+    )
+    return linked.withColumn("outcome", outcome)

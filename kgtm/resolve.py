@@ -1,0 +1,111 @@
+"""Versioned-snapshot resolution — the "time machine" core.
+
+Policy dispatch over OntoVersion (/root/reference/ontologytimemachine/utils/
+config.py:60-65, proxy_logic.py:163-197):
+
+  original                  → identity: keep the surface form, no snapshot
+                              (fetch_original, proxy_logic.py:201-205)
+  latestArchived            → max(version_ts) per ontology
+                              (fetch_latest_archived, proxy_logic.py:242-260)
+  timestampArchived         → max(version_ts) ≤ pin per ontology — an AS-OF
+                              join (fetch_timestamp_archived,
+                              proxy_logic.py:262-273)
+  originalFailoverLiveLatest→ prefer the "live" resolution when available,
+                              else latest archived (fetch_failover,
+                              proxy_logic.py:209-238)
+
+Spark has no native AS-OF join; with a broadcast-sized snapshot table the
+right plan is: pre-reduce the snapshot table per ontology (driver/broadcast
+side, ~rows = #ontologies) and broadcast-join the reduced dim — the fact side
+never shuffles at all. Both resolvers below do that. For a NON-broadcastable
+snapshot table the same code works because the pre-reduction is a map-side
+combine groupBy on the dim, still far smaller than window-ing the fact table.
+
+Misses behave like the reference: an ontology absent from the snapshot table
+(or with no version ≤ pin) resolves to NULL — the 404 analog
+(proxy_logic.py:243-247, mock_response_404).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ONTO_VERSION_MODES = [
+    "original",
+    "originalFailoverLiveLatest",
+    "latestArchived",
+    "timestampArchived",
+]
+
+
+def latest_snapshots(snapshots: DataFrame) -> DataFrame:
+    """One row per ontology_iri: the max-version snapshot.
+
+    max_by keeps the (snapshot_iri, file_url) of the max version_ts in a
+    single partial-aggregatable pass — no window, no second shuffle.
+    """
+    return snapshots.groupBy("ontology_iri").agg(
+        F.max("version_ts").alias("version_ts"),
+        F.max_by("snapshot_iri", "version_ts").alias("snapshot_iri"),
+        F.max_by("file_url", "version_ts").alias("file_url"),
+    )
+
+
+def asof_snapshots(snapshots: DataFrame, pin_ts: dt.datetime) -> DataFrame:
+    """One row per ontology_iri: the max snapshot with version_ts <= pin."""
+    return latest_snapshots(snapshots.filter(F.col("version_ts") <= F.lit(pin_ts)))
+
+
+def resolve_links(
+    linked: DataFrame,
+    snapshots: DataFrame,
+    mode: str = "latestArchived",
+    pin_ts: dt.datetime | None = None,
+) -> DataFrame:
+    """Attach (snapshot_iri, version_ts, file_url, source) to linked mentions.
+
+    source ∈ {original, archivo-latest, archivo-timestamp, not-found,
+    unlinked} — the response-source taxonomy from SURVEY.md §1.4.
+    """
+    if mode not in ONTO_VERSION_MODES:
+        raise ValueError(f"unknown ontoVersion mode: {mode}")
+
+    if mode == "original":
+        return linked.select(
+            "*",
+            F.lit(None).cast("string").alias("snapshot_iri"),
+            F.lit(None).cast("timestamp").alias("version_ts"),
+            F.lit(None).cast("string").alias("file_url"),
+            F.lit("original").alias("source"),
+        )
+
+    if mode == "timestampArchived":
+        if pin_ts is None:
+            raise ValueError("timestampArchived requires pin_ts")
+        dim = asof_snapshots(snapshots, pin_ts)
+        src_tag = "archivo-timestamp"
+    else:  # latestArchived and the archived leg of failover
+        dim = latest_snapshots(snapshots)
+        src_tag = "archivo-latest"
+
+    out = linked.join(F.broadcast(dim), "ontology_iri", "left")
+    source = (
+        F.when(~F.col("is_linked"), F.lit("unlinked"))
+        .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))
+        .otherwise(F.lit(src_tag))
+    )
+    if mode == "originalFailoverLiveLatest":
+        # Failover semantics (proxy_logic.py:209-238): prefer the live/original
+        # form when it is acceptable; here "live acceptable" = the mention's
+        # surface form already equals the canonical ontology IRI (the exact
+        # rung-0 hit — nothing to repair), else fall back to archived-latest.
+        source = (
+            F.when(~F.col("is_linked"), F.lit("unlinked"))
+            .when(F.col("rung") == 0, F.lit("original"))
+            .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))
+            .otherwise(F.lit(src_tag))
+        )
+    return out.withColumn("source", source)

@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for the KG-construction pipeline.
+
+Defaults are chosen for the sandbox (single JVM, local[N]) but every knob is the
+one you would also set on a real multi-executor cluster: AQE on (runtime
+re-planning + skew-join splitting), Arrow enabled for pandas UDFs, a broadcast
+threshold large enough that the compact ontology-snapshot dictionary always
+broadcasts, and shuffle partitions sized to the core count rather than the 200
+default (at 100 TB you would size this to ~2-3x total cores and let AQE
+coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "kgtm",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores``: explicit local[N] parallelism (used by the two-cluster-size
+    scaling bench, local[8] vs local[32]); default honours
+    ``$SPARK_GRAFT_CPUS`` then falls back to ``local[*]``.
+    """
+    if cores is None:
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env_cpus}]" if env_cpus else "local[*]"
+    else:
+        master = f"local[{cores}]"
+
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
+        # this is what turns a skewed 1000-way shuffle into a balanced one.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas UDF / mapInPandas stage (zero per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # The ontology dictionary/snapshot tables are ≤ a few MB even at 10^6
+        # ontologies — always broadcast them instead of shuffling the fact side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("KGTM_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.createHiveTableByDefault", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

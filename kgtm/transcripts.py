@@ -1,0 +1,179 @@
+"""Transcript sources.
+
+Two ways to get a transcripts table of the canonical shape
+(conv_id, turn_idx, role, text, tool, ts — BASELINE.json input_hint):
+
+1. ``events_to_transcripts`` — deterministic adapter over the driver's
+   ``events`` parquet (event_id, ts, user_id, event_type, value, props),
+   per FIXTURES.md §"Driver testdata mapping". It also *plants* surface-IRI
+   mentions in the text deterministically (variant chosen by the numeric
+   payload in props), so the full KG pipeline has linkable mentions whose
+   expected behavior is oracle-checkable in ANSI SQL. The SQL fragments used
+   by __spark_entry__.oracle_sql() live here too (DUCKDB_* constants) so the
+   two stay in lockstep.
+
+2. ``kgtm.synth.generate_transcripts`` — the seeded synthetic corpus with
+   golden triples (P/R gate).
+
+The planted-variant scheme mirrors the reference's test IRI shapes
+(/root/reference/tests/archivo_test_IRIs.tsv: iri_type ∈ {hash, slash, term})
+and exercises ladder rungs 0/1/2 plus scheme-flip:
+
+  k % 4 == 0 → exact dictionary IRI             (rung 0)
+  k % 4 == 1 → trailing slash                    (rung 1)
+  k % 4 == 2 → term under the ontology path      (rung 2, "slash" iri_type)
+  k % 4 == 3 → https scheme flip of the exact IRI (scheme-agnostic key)
+  k % 10 == 9 → additionally an UNKNOWN host     (deny/unlinked path,
+                proxy_logic.py:39-44)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kgtm.schemas import ONTOLOGY_INDEX_SCHEMA, ONTOLOGY_SNAPSHOTS_SCHEMA
+
+DICT_HOST = "onto.example.org"
+UNKNOWN_HOST = "unknown.example.net"
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# ---------------------------------------------------------------------------
+# events → transcripts (the planted-mention adapter)
+# ---------------------------------------------------------------------------
+
+# Shared text template — the Spark and DuckDB forms MUST stay equivalent.
+#   k      = first integer in props
+#   variant= k % 4 ; unknown host when k % 10 = 9
+# text = 'the agent uses <iri> while discussing <event_type> k=<k>'
+
+
+def events_to_transcripts(events: DataFrame) -> DataFrame:
+    """Deterministic transcripts view over the events table.
+
+    turn_idx is a dense 0-based row_number per user ordered by (ts, event_id):
+    one shuffle on user_id, which is also the partitioning the downstream
+    turn-assembly wants — the exchange is reused, not repeated.
+    """
+    k = F.coalesce(
+        F.regexp_extract("props", r"([0-9]+)", 1).try_cast("long"), F.lit(0)
+    )
+    host = F.when(k % 10 == 9, F.lit(UNKNOWN_HOST)).otherwise(F.lit(DICT_HOST))
+    base = F.concat(F.lit("http://"), host, F.lit("/"), F.col("event_type"))
+    variant = k % 4
+    iri = (
+        F.when(variant == 1, F.concat(base, F.lit("/")))
+        .when(variant == 2, F.concat(base, F.lit("/Term"), (k % 7).cast("string")))
+        .when(variant == 3, F.concat(F.lit("https://"), host, F.lit("/"), F.col("event_type")))
+        .otherwise(base)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(
+            F.lit("the agent uses "),
+            iri,
+            F.lit(" while discussing "),
+            F.col("event_type"),
+            F.lit(" k="),
+            k.cast("string"),
+        ).alias("text"),
+        F.when(F.col("event_type") == "error", F.lit("debugger")).alias("tool"),
+        F.col("ts"),
+    )
+
+
+# DuckDB twin of events_to_transcripts (a CTE body; expects view `events`).
+DUCKDB_TRANSCRIPTS_CTE = """
+  transcripts AS (
+    SELECT
+      'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+      CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+      event_type AS role,
+      'the agent uses '
+        || CASE (k % 4)
+             WHEN 1 THEN 'http://' || host || '/' || event_type || '/'
+             WHEN 2 THEN 'http://' || host || '/' || event_type || '/Term' || CAST(k % 7 AS VARCHAR)
+             WHEN 3 THEN 'https://' || host || '/' || event_type
+             ELSE 'http://' || host || '/' || event_type
+           END
+        || ' while discussing ' || event_type || ' k=' || CAST(k AS VARCHAR) AS text,
+      CASE WHEN event_type = 'error' THEN 'debugger' END AS tool,
+      ts
+    FROM (
+      SELECT *,
+        COALESCE(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT), 0) AS k,
+        CASE WHEN COALESCE(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT), 0) % 10 = 9
+             THEN 'unknown.example.net' ELSE 'onto.example.org' END AS host
+      FROM events
+    )
+  )
+"""
+
+# ---------------------------------------------------------------------------
+# Inline ontology dictionary + snapshots (deterministic constants)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_STAMPS = ["2024.01.15-083000", "2024.06.01-120000", "2024.12.31-233000"]
+
+
+def _stamp_to_ts(stamp: str) -> dt.datetime:
+    return dt.datetime.strptime(stamp, "%Y.%m.%d-%H%M%S")
+
+
+def ontology_index_rows() -> list[tuple[str, str, str, str]]:
+    return [
+        (f"http://{DICT_HOST}/{et}", DICT_HOST, f"/{et}", "slash")
+        for et in EVENT_TYPES
+    ]
+
+
+def ontology_snapshot_rows() -> list[tuple]:
+    rows = []
+    for et in EVENT_TYPES:
+        iri = f"http://{DICT_HOST}/{et}"
+        # Deterministic per-ontology version count: 'click' 1, 'error' 2, rest 3
+        n = {"click": 1, "error": 2}.get(et, 3)
+        for stamp in _SNAPSHOT_STAMPS[:n]:
+            rows.append(
+                (
+                    iri,
+                    _stamp_to_ts(stamp),
+                    f"https://databus.example.org/ontologies/{DICT_HOST}/{et}/{stamp}",
+                    f"https://archivo.example.org/download?o={iri}&f=ttl&v={stamp}",
+                    [],
+                )
+            )
+    return rows
+
+
+def ontology_index_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ontology_index_rows(), ONTOLOGY_INDEX_SCHEMA)
+
+
+def ontology_snapshots_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ontology_snapshot_rows(), ONTOLOGY_SNAPSHOTS_SCHEMA)
+
+
+def duckdb_index_values() -> str:
+    """(VALUES ...) AS ontology_index(ontology_iri, host, path, iri_type)."""
+    vals = ",\n      ".join(
+        f"('{iri}', '{h}', '{p}', '{t}')" for iri, h, p, t in ontology_index_rows()
+    )
+    return f"(VALUES\n      {vals}) AS ontology_index(ontology_iri, host, path, iri_type)"
+
+
+def duckdb_snapshots_values() -> str:
+    """(VALUES ...) AS snapshots(ontology_iri, version_ts, snapshot_iri, file_url)."""
+    vals = ",\n      ".join(
+        f"('{iri}', TIMESTAMP '{ts.isoformat(sep=' ')}', '{snap}', '{url}')"
+        for iri, ts, snap, url, _deps in ontology_snapshot_rows()
+    )
+    return (
+        f"(VALUES\n      {vals}) AS snapshots(ontology_iri, version_ts, snapshot_iri, file_url)"
+    )
