@@ -112,8 +112,125 @@ def _q_accept_negotiation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.textstats import fingerprint_col, lang_id_col, quality_features
+
+    qf = quality_features(_docs(spark, sf_dir))
+    return qf.select(
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        lang_id_col("text").alias("lang"),
+        fingerprint_col("text").alias("fingerprint"),
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.textstats import bpe_ish_token_count_col, token_count_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count_col("text").alias("n_ws_tokens"),
+        bpe_ish_token_count_col("text").alias("n_bpe_tokens"),
+    )
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.textstats import winnow_fingerprint_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", winnow_fingerprint_udf(F.col("text")).alias("winnow_fp")
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.similarity import brute_topk
+
+    embs = _embs(spark, sf_dir)
+    return brute_topk(embs, embs.filter(F.col("vec_id") < 5), k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.similarity import lsh_topk
+
+    embs = _embs(spark, sf_dir)
+    return lsh_topk(embs, embs.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.5)
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.multimodal import extract_features, synth_media_df
+
+    feats = extract_features(synth_media_df(spark, _docs(spark, sf_dir)))
+    return feats.select("asset_id", "media_type", "n_bytes", "content_digest")
+
+
+def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.multimodal import sample_frames, synth_media_df
+
+    return sample_frames(synth_media_df(spark, _docs(spark, sf_dir)), every_ms=1000)
+
+
+def _q_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.canonicalize import canonical_entities
+    from kgtm.extract import extract_mentions
+    from kgtm.link import link_mentions
+
+    m = extract_mentions(_transcripts(spark, sf_dir))
+    linked = link_mentions(m, ontology_index_df(spark))
+    return canonical_entities(linked)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # KG-construction pipeline (reference semantics)
         "turn_assembly": _q_turn_assembly,
         "mention_hosts": _q_mention_hosts,
         "ladder_linking": _q_ladder_linking,
@@ -122,10 +239,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolution_outcomes": _q_resolution_outcomes,
         "flagship_triples": _q_flagship_triples,
         "accept_negotiation": _q_accept_negotiation,
+        "canonical_entities": _q_canonical_entities,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_neardup": _q_simhash,
+        "quality_stats": _q_quality_stats,
+        "token_counts": _q_token_counts,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "media_meta": _q_media_meta,
+        "frame_samples": _q_frame_samples,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # minhash_lsh / simhash_neardup / ann_lsh_topk / winnow_fingerprints /
+    # canonical_entities are probabilistic or iterative (non-SQL-expressible)
+    # → rows-only checks by omission.
     return {
         "turn_assembly": oracles.q_turn_assembly(),
         "mention_hosts": oracles.q_mention_hosts(),
@@ -135,4 +269,12 @@ def oracle_sql() -> dict[str, str]:
         "resolution_outcomes": oracles.q_resolution_outcomes(),
         "flagship_triples": oracles.q_flagship_triples(),
         "accept_negotiation": oracles.q_accept_negotiation(),
+        "dedup_exact": oracles.q_dedup_exact(),
+        "ngram_jaccard": oracles.q_ngram_jaccard(0.2),
+        "quality_stats": oracles.q_quality_stats(),
+        "token_counts": oracles.q_token_counts(),
+        "ann_topk": oracles.q_ann_topk(5, 10),
+        "embedding_neardup": oracles.q_embedding_neardup(0.5),
+        "media_meta": oracles.q_media_meta(),
+        "frame_samples": oracles.q_frame_samples(),
     }

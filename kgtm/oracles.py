@@ -185,3 +185,148 @@ def q_accept_negotiation() -> str:
       FROM (VALUES
       {rows}) AS t(accept_header, expected_format)
     """
+
+
+# ===========================================================================
+# Training-data ops oracles (documents / embeddings tables)
+# ===========================================================================
+
+PUNCT_SQL_CLASS = "[.,;:!?''" + '\\"' + "()\\[\\]{}-]"  # SQL-escaped: '' = literal quote
+STOPWORDS_SQL = "('the','a','an','of','and','to','in','is','for','on')"
+
+WORDS_CTE = r"""
+  words AS (
+    SELECT doc_id AS id, text,
+           string_split_regex(trim(lower(text)), '\s+') AS w
+    FROM documents
+  )
+"""
+
+SHINGLES_CTE = r"""
+  sh AS (
+    SELECT id, list_distinct(
+             list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                            i -> array_to_string(w[i:i+2], ' '))) AS s
+    FROM words
+  ),
+  flat AS (SELECT id, len(s) AS n_sh, unnest(s) AS shingle FROM sh)
+"""
+
+
+def q_dedup_exact() -> str:
+    return """
+      SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id,
+             count(*) AS n_dupes
+      FROM documents GROUP BY 1
+    """
+
+
+def q_ngram_jaccard(threshold: float = 0.2) -> str:
+    return f"""
+      WITH {WORDS_CTE}, {SHINGLES_CTE},
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               count(*) AS ni
+        FROM flat a JOIN flat b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, round(ni * 1.0 / (n_a + n_b - ni), 6) AS jaccard
+      FROM inter WHERE ni * 1.0 / (n_a + n_b - ni) >= {threshold}
+    """
+
+
+def q_quality_stats() -> str:
+    # Twin of kgtm.textstats.quality_features + lang_id_col + fingerprint_col.
+    # NOTE regexp_replace needs the 'g' flag in DuckDB (Spark replaces all).
+    hits = {
+        lang: f"len(list_filter(w, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in {
+            "de": ["der", "die", "das", "und", "ist"],
+            "en": ["the", "and", "of", "is", "for"],
+            "es": ["el", "la", "de", "que", "los"],
+            "fr": ["le", "la", "et", "les", "des"],
+        }.items()
+    }
+    return f"""
+      WITH {WORDS_CTE},
+      feat AS (
+        SELECT id AS doc_id,
+               length(text) AS n_chars_m,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS n_tokens,
+               length(text) - length(regexp_replace(text, '{PUNCT_SQL_CLASS}', '', 'g')) AS n_punct,
+               len(list_filter(w, x -> x IN {STOPWORDS_SQL})) AS n_stop,
+               {hits['de']} AS h_de, {hits['en']} AS h_en,
+               {hits['es']} AS h_es, {hits['fr']} AS h_fr,
+               substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
+        FROM words
+      )
+      SELECT doc_id, n_chars_m, n_tokens,
+             round(CASE WHEN n_chars_m > 0 THEN n_punct * 1.0 / n_chars_m ELSE 0 END, 6) AS punct_ratio,
+             round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0 END, 6) AS stopword_ratio,
+             round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + least(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3
+                 + (1.0 - least(CASE WHEN n_chars_m > 0 THEN n_punct * 1.0 / n_chars_m ELSE 0 END * 10.0, 1.0)) * 0.2,
+               6) AS quality_score,
+             CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+                  WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+                  WHEN h_fr > 0 THEN 'fr'
+                  ELSE 'und' END AS lang,
+             fingerprint
+      FROM feat
+    """
+
+
+def q_token_counts() -> str:
+    return r"""
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END::BIGINT AS n_ws_tokens,
+             len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))::BIGINT AS n_bpe_tokens
+      FROM documents
+    """
+
+
+def q_ann_topk(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+      WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+        FROM q, embeddings c WHERE c.vec_id != q.query_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= {k}
+    """
+
+
+def q_embedding_neardup(threshold: float = 0.5) -> str:
+    return f"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
+    """
+
+
+def q_media_meta() -> str:
+    return """
+      SELECT doc_id AS asset_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             strlen(text)::BIGINT AS n_bytes,
+             md5(text) AS content_digest
+      FROM documents
+    """
+
+
+def q_frame_samples() -> str:
+    return """
+      SELECT doc_id AS asset_id,
+             unnest(generate_series(0, (doc_id % 5) * 1000 + 499, 1000))::INT AS frame_ms,
+             strlen(text)::BIGINT AS n_bytes
+      FROM documents
+      WHERE doc_id % 3 = 2
+    """

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+  brute_topk — exact cosine top-k: broadcast the (small) query set against
+               the corpus; one shuffle for the per-query top-k aggregation.
+  lsh_topk   — random-hyperplane LSH buckets (vectorized numpy pandas UDF)
+               with multi-probe: exact search within matching buckets only.
+               The 100 TB path: the corpus side is hashed once, the join key
+               is the bucket code, and no query ever scans the full corpus.
+
+Determinism: hyperplanes come from a seeded numpy Generator; ranking ties
+break on neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.window import Window
+
+from kgtm.dedup import cosine_expr
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — exact top-k by cosine.
+
+    Query side is broadcast (ANN query batches are small relative to the
+    corpus); rank via per-query window with deterministic tie-break.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_expr("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def bucket_codes_series_factory(
+    dim: int,
+    n_tables: int = 8,
+    planes_per_table: int = 6,
+    seed: int = 42,
+    multiprobe: bool = False,
+):
+    """Pure UDF body factory: embedding → list of bucket keys.
+
+    Standard multi-table sign-LSH: L independent tables of b hyperplanes.
+    Corpus rows get L keys (one per table); query rows with multiprobe get
+    L*(b+1) keys (primary + every 1-bit flip per table). Keys are
+    (table << b) | code so tables never collide.
+    """
+    H = _hyperplanes(dim, n_tables * planes_per_table, seed)
+    b = planes_per_table
+
+    def codes(embs: pd.Series) -> pd.Series:
+        M = np.stack(embs.to_numpy()).astype(np.float64)  # (rows, dim)
+        signs = (M @ H.T) >= 0  # (rows, L*b)
+        weights = (1 << np.arange(b)).astype(np.int64)
+        out_rows = []
+        for t in range(n_tables):
+            code = signs[:, t * b : (t + 1) * b].astype(np.int64) @ weights
+            tagged = (t << (b + 1)) | code
+            cols = [tagged[:, None]]
+            if multiprobe:
+                cols.append(((t << (b + 1)) | (code[:, None] ^ weights[None, :])))
+            out_rows.append(np.concatenate(cols, axis=1))
+        full = np.concatenate(out_rows, axis=1)
+        return pd.Series(list(full.astype(np.int32)))
+
+    return codes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    planes_per_table: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within LSH bucket candidates only."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c_udf = F.pandas_udf(
+        bucket_codes_series_factory(dim, n_tables, planes_per_table, seed, False),
+        ArrayType(IntegerType()),
+    )
+    q_udf = F.pandas_udf(
+        bucket_codes_series_factory(dim, n_tables, planes_per_table, seed, True),
+        ArrayType(IntegerType()),
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.explode(c_udf(F.col(vec_col))).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(q_udf(F.col(vec_col))).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+        .withColumn("cos", cosine_expr("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate search."""
+    hit = approx.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    total = exact.count()
+    return hit.count() / total if total else 1.0

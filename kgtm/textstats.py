@@ -1,0 +1,167 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All codegen column expressions (no UDF in the hot
+path); the winnowing fingerprint is the one vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "for", "on"]
+
+# tiny marker dictionaries for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "for"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def words_col(text: str | Column = "text") -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(t)), r"\s+")
+
+
+def token_count_col(text: str | Column = "text") -> Column:
+    """Whitespace token count; 0 for empty/null."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        F.coalesce(F.trim(t), F.lit("")) == "", F.lit(0)
+    ).otherwise(F.size(words_col(t))).cast("long")
+
+
+def bpe_ish_token_count_col(text: str | Column = "text") -> Column:
+    """Sub-word-ish token count: word chunks + digits + punctuation marks,
+    the classic BPE-approximating regex count."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(t, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    ).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars_m, n_tokens, punct_ratio, stopword_ratio, quality_score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_col(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    words = words_col(t)
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*[F.lit(s) for s in STOPWORDS_EN]))
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    # simple monotone quality heuristic in [0,1]: long enough, some stopwords,
+    # not punctuation soup
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return df.select(
+        "*",
+        n_chars.cast("long").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id_col(text: str | Column = "text") -> Column:
+    """Marker-word language heuristic: argmax of per-language hit counts,
+    'und' when no marker hits. Deterministic tie-break by language code."""
+    words = words_col(text)
+    hits = {
+        lang: F.size(
+            F.filter(words, lambda w: w.isin(*[F.lit(m) for m in ms]))
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    pairs = F.array(
+        *[
+            F.struct(hits[lang].alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                p["hits"].alias("hits"),
+                # invert lang for max() so ties pick the alphabetically FIRST
+                F.element_at(
+                    F.array(*[F.lit(c) for c in sorted(LANG_MARKERS, reverse=True)]),
+                    F.array_position(
+                        F.array(*[F.lit(c) for c in sorted(LANG_MARKERS)]), p["lang"]
+                    ).cast("int"),
+                ).alias("inv"),
+                p["lang"].alias("lang"),
+            ),
+        )
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_col(text: str | Column = "text", length: int = 16) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized, lowercased text
+    (stable across formatting-only edits)."""
+    t = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    return F.substring(F.md5(normalized), 1, length)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint (rolling hash) — vectorized pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprint_series(
+    texts: pd.Series, k: int = 5, window: int = 4
+) -> pd.Series:
+    """Pure UDF body: winnowing (Schleimer et al.) — min rolling k-gram hash
+    per window, xor-folded to one int64 document fingerprint."""
+
+    np_err = np.errstate(over="ignore")  # uint64 wraparound is the hash
+
+    def fp(s: str) -> int:
+        if not s or len(s) < k:
+            return 0
+        b = np.frombuffer(s.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(b) - k + 1
+        base = np.uint64(257)
+        h = np.zeros(n, dtype=np.uint64)
+        acc = np.uint64(0)
+        powk = np.uint64(1)
+        for _ in range(k):
+            powk *= base
+        for i in range(k):
+            acc = acc * base + np.uint64(b[i])
+        h[0] = acc
+        for i in range(1, n):
+            acc = acc * base - np.uint64(b[i - 1]) * powk + np.uint64(b[i + k - 1])
+            h[i] = acc
+        if n <= window:
+            mins = np.array([h.min()], dtype=np.uint64)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            mins = np.unique(sw.min(axis=1))
+        out = np.uint64(0)
+        for m in mins:
+            out ^= m * np.uint64(0x9E3779B97F4A7C15)
+        return int(out.astype(np.int64))
+
+    with np_err:
+        return texts.fillna("").map(fp)
+
+
+winnow_fingerprint_udf = F.pandas_udf(
+    lambda texts: winnow_fingerprint_series(texts), LongType()
+)

@@ -1,0 +1,211 @@
+"""Training-data ops: dedup (exact/ngram/minhash/simhash/embedding),
+text stats, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgtm.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature_series,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash_pairs,
+    simhash_series,
+)
+from kgtm.multimodal import extract_features, sample_frames, synth_media_df
+from kgtm.similarity import brute_topk, lsh_topk, recall_at_k
+from kgtm.textstats import (
+    bpe_ish_token_count_col,
+    fingerprint_col,
+    lang_id_col,
+    quality_features,
+    token_count_col,
+    winnow_fingerprint_series,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = "the quick brown fox jumps over the lazy dog again and again yes"
+    rows = [
+        (0, base),
+        (1, base),                     # exact dup of 0
+        (2, near),                     # near dup of 0/1
+        (3, "completely different text about spark shuffles and joins here"),
+        (4, "the quick brown fox"),    # short, some overlap
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    out = exact_dedup(dup_docs)
+    rows = {r.keep_doc_id: r.n_dupes for r in out.collect()}
+    assert rows[0] == 2  # docs 0 and 1 collapse, survivor = min id
+    assert out.count() == 4
+
+
+def test_shingles_col(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    out = df.select(shingles_col("text", 3).alias("sh")).collect()
+    assert out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == []
+
+
+def test_ngram_jaccard_pairs(spark, dup_docs):
+    out = ngram_jaccard_pairs(dup_docs, threshold=0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_signature_deterministic():
+    s = pd.Series([["a b c", "b c d"], [], ["x y z"]])
+    a = minhash_signature_series(s, n_hashes=16)
+    b = minhash_signature_series(s, n_hashes=16)
+    assert a.tolist() == b.tolist()
+    assert len(a[0]) == 16 and a[1] == [0] * 16
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    out = minhash_lsh_pairs(dup_docs, threshold=0.5, n_hashes=64, n_bands=16)
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in out.collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dup(spark, dup_docs):
+    s = simhash_series(pd.Series([["a b c", "c d e"], ["a b c", "c d e"]]))
+    assert s[0] == s[1]
+    out = simhash_pairs(dup_docs, max_hamming=10)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 10
+    assert (0, 3) not in pairs
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_neardup_pairs(df, threshold=0.9)
+    pairs = [(r.id_a, r.id_b) for r in out.collect()]
+    assert pairs == [(0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world foo",), ("",), (None,), ("don't stop! 42",)], "text string"
+    )
+    out = df.select(
+        token_count_col("text").alias("ws"),
+        bpe_ish_token_count_col("text").alias("bpe"),
+    ).collect()
+    assert [r.ws for r in out] == [3, 0, 0, 3]
+    # don ' t stop ! 42 → 6
+    assert out[3].bpe == 6
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox and a dog of note"), (1, "!!! ??? ...")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in quality_features(df).collect()}
+    assert out[0].stopword_ratio > 0.2
+    assert out[1].punct_ratio > 0.5
+    assert out[0].quality_score > out[1].quality_score
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("el gato de la casa que los",),
+            ("der hund und die katze ist",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    out = [r.lang for r in df.select(lang_id_col("text").alias("lang")).collect()]
+    assert out == ["en", "es", "de", "und"]
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("hello  world ",), ("other",)],
+        "text string",
+    )
+    fps = [r.fp for r in df.select(fingerprint_col("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_winnow_fingerprint_pure():
+    s = pd.Series(["the quick brown fox", "the quick brown fox", "other doc", ""])
+    out = winnow_fingerprint_series(s)
+    assert out[0] == out[1] != out[2]
+    assert out[3] == 0
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_brute_topk_and_lsh_recall(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = brute_topk(embeddings, queries, k=10)
+    rows = exact.collect()
+    assert len(rows) == 50
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        cosines = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+
+    approx = lsh_topk(embeddings, queries, k=10, n_tables=8, planes_per_table=6)
+    rec = recall_at_k(approx, exact)
+    assert rec >= 0.6, rec  # 8 tables x 6 planes, multi-probe queries
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_features(spark, documents):
+    media = synth_media_df(spark, documents)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == documents.count()
+    r0 = rows[0]
+    assert len(r0.features) == 16
+    assert abs(sum(r0.features) - 1.0) < 1e-5
+    # deterministic: same content → same digest/features
+    again = {r.asset_id: r for r in extract_features(media).collect()}
+    assert again[r0.asset_id].content_digest == r0.content_digest
+
+
+def test_sample_frames(spark, documents):
+    media = synth_media_df(spark, documents)
+    frames = sample_frames(media, every_ms=1000)
+    # doc_id % 3 == 2 → video; duration (doc_id%5)*1000+500 → frames = %5 + 1
+    got = frames.groupBy("asset_id").count().collect()
+    for r in got:
+        assert r["count"] == (r.asset_id % 5) + 1
