@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Headline benchmark: one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Every query is forced through the noop sink
+(full materialization, no driver collect). The flagship KG pipeline is also
+run on an AMPLIFIED transcript corpus (events x AMPLIFY copies, Spark-side,
+deterministic) to report a CPU-bound triples/sec figure, plus P/R on the
+seeded synthetic corpus.
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "triples_per_sec": ...,
+         "precision": ..., "recall": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as se  # noqa: E402
+from kgtm.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "flagship_triples",
+    "turn_assembly",
+    "ladder_linking",
+    "resolution_outcomes",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash_neardup",
+    "quality_stats",
+    "token_counts",
+    "winnow_fingerprints",
+    "ann_topk",
+    "ann_lsh_topk",
+    "embedding_neardup",
+    "media_meta",
+]
+
+AMPLIFY = int(os.environ.get("KGTM_BENCH_AMPLIFY", "30"))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def amplified_transcripts(spark, sf_dir: str, factor: int):
+    """events x factor deterministic copies → transcripts (Spark-side only).
+
+    Copies get distinct user ids so conversation-count scales while the
+    per-conversation turn distribution is preserved.
+    """
+    from kgtm.transcripts import events_to_transcripts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    amp = (
+        ev.crossJoin(reps)
+        .withColumn("user_id", F.col("user_id") * factor + F.col("rep"))
+        .withColumn("event_id", F.col("event_id") * factor + F.col("rep"))
+        .drop("rep")
+    )
+    return events_to_transcripts(amp)
+
+
+def flagship_amplified(spark, sf_dir: str, factor: int):
+    from kgtm.pipeline import build_triples
+    from kgtm.transcripts import ontology_index_df, ontology_snapshots_df
+
+    tr = amplified_transcripts(spark, sf_dir, factor)
+    return build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
+
+
+def synth_pr(spark) -> dict:
+    from kgtm.pipeline import build_triples
+    from kgtm.quality import triple_pr
+    from kgtm.schemas import (
+        ONTOLOGY_INDEX_SCHEMA,
+        ONTOLOGY_SNAPSHOTS_SCHEMA,
+        TRANSCRIPTS_SCHEMA,
+    )
+    from kgtm.synth import SynthConfig, generate
+
+    tr_pd, idx_pd, snaps_pd, gold_pd = generate(
+        SynthConfig(seed=42, n_convs=300, n_ontologies=80)
+    )
+    tr = spark.createDataFrame(tr_pd, TRANSCRIPTS_SCHEMA)
+    idx = spark.createDataFrame(idx_pd, ONTOLOGY_INDEX_SCHEMA)
+    snaps = spark.createDataFrame(snaps_pd, ONTOLOGY_SNAPSHOTS_SCHEMA)
+    gold = spark.createDataFrame(gold_pd)
+    return triple_pr(build_triples(tr, idx, snaps), gold)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="kgtm-bench", cores=cpus, shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warm-up
+
+    qfns = se.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qfns[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        force(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # CPU-bound flagship throughput on the amplified corpus
+    amp_df = flagship_amplified(spark, sf_dir, AMPLIFY)
+    t0 = time.perf_counter()
+    n_triples = amp_df.count()
+    amp_sec = time.perf_counter() - t0
+    timings["flagship_amplified"] = round(amp_sec, 3)
+
+    pr = synth_pr(spark)
+
+    out = {
+        "metric": "kgtm headline suite wall time (noop-forced) + amplified flagship triples/sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "amplify": AMPLIFY,
+        "amplified_triples": n_triples,
+        "triples_per_sec": round(n_triples / amp_sec, 1),
+        "precision": round(pr["precision"], 4),
+        "recall": round(pr["recall"], 4),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,18 +53,44 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text: str | Column = "text", n: int = 3) -> Column:
-    """array<string> of distinct word n-grams (codegen expression, no UDF)."""
-    t = F.col(text) if isinstance(text, str) else text
-    words = F.split(F.trim(F.lower(t)), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(words) - F.lit(n))
+def grams_expr(words: str | Column, n: int = 3) -> Column:
+    """array<string> of distinct word n-grams from a words-array column.
+
+    IMPORTANT perf contract: pass a MATERIALIZED words column (a previous
+    projection step), not the split() expression itself — Catalyst inlines a
+    split passed directly into every element access inside the transform
+    lambda (measured 20x slower at sf0.1).
+    """
+    w = F.col(words) if isinstance(words, str) else words
+    idx = F.sequence(F.lit(0), F.size(w) - F.lit(n))
     gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.get(words, i + F.lit(k)) for k in range(n)]
+        " ", *[F.get(w, i + F.lit(k)) for k in range(n)]
     )
     # Spark's sequence(0, stop) counts DOWN when stop < 0 — guard short texts.
-    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.transform(idx, gram))
     )
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out: str = "sh",
+) -> DataFrame:
+    """(id, sh) with the words split staged as its own projection."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_w"),
+    ).select("id", grams_expr("_w", n).alias(out))
+
+
+def shingles_col(text: str | Column = "text", n: int = 3) -> Column:
+    """Single-expression form (tests/small data). For hot paths use
+    with_shingles — see grams_expr's perf contract."""
+    t = F.col(text) if isinstance(text, str) else text
+    return grams_expr(F.split(F.trim(F.lower(t)), r"\s+"), n)
 
 
 def ngram_jaccard_pairs(
@@ -84,31 +110,47 @@ def ngram_jaccard_pairs(
     that 10^8 docs share carries no dedup signal and would quadratically
     explode the join).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    flat = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    sh = with_shingles(df, text_col, id_col, n)
+    # explode FIRST (grams evaluated once inside Generate); join on a 64-bit
+    # shingle hash, not the string — smaller shuffle keys. |A| is recovered
+    # as a per-id count over flat (sh is already distinct), avoiding the
+    # size()+explode() double evaluation of the gram array.
+    # explode_OUTER, not explode: InferFiltersFromGenerate would otherwise
+    # push a `size(<full gram expr>) > 0` filter below the staged projection,
+    # re-inlining the split into every element access (measured 30x slower).
+    flat = (
+        sh.select("id", F.explode_outer("sh").alias("sh_str"))
+        .filter(F.col("sh_str").isNotNull())
+        .select("id", F.xxhash64("sh_str").alias("shingle"))
+    )
+    sizes = flat.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    pair_side = flat
     if max_shingle_df is not None:
+        # Hot-shingle cap: a stop-phrase shared by 10^8 docs carries no dedup
+        # signal and quadratically explodes the join.
         hot = (
             flat.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_"))
             .filter(F.col("df_") > max_shingle_df)
             .select("shingle")
         )
-        flat = flat.join(F.broadcast(hot), "shingle", "left_anti")
+        pair_side = flat.join(F.broadcast(hot), "shingle", "left_anti")
 
-    a = flat.select(
-        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
-    )
-    b = flat.select(
-        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
-    )
+    a = pair_side.select(F.col("id").alias("id_a"), "shingle")
+    b = pair_side.select(F.col("id").alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # No broadcast hint: sizes is one row per doc — AQE broadcasts while it
+    # fits and falls back to shuffle join at corpus scale.
+    sz = sizes
+    inter = inter.join(
+        sz.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+    ).join(sz.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
     jac = inter.withColumn(
         "jaccard",
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -125,12 +167,16 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 61) - 1
 
 
-def _hash_shingles(sh: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of shingles (no Python hash() — seed-varying)."""
+def _hash_shingles(sh) -> np.ndarray:
+    """Stable 32-bit hashes of shingles (no Python hash() — seed-varying).
+
+    31-bit range keeps a*x+b inside uint64 for the universal-hash family
+    below — the whole signature stays in vectorized native arithmetic.
+    """
     import zlib
 
     return np.fromiter(
-        ((zlib.crc32(s.encode()) << 32) | zlib.adler32(s.encode()) for s in sh),
+        (zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh),
         dtype=np.uint64,
         count=len(sh),
     )
@@ -141,20 +187,22 @@ def minhash_signature_series(
 ) -> pd.Series:
     """Pure UDF body: list[str] shingles → list[int] minhash signature.
 
-    Universal hashing h_i(x) = (a_i * x + b_i) mod p over precomputed 64-bit
-    shingle hashes; fully vectorized per row (outer product in numpy).
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p, a_i < 2^31 and
+    x < 2^31 so products fit uint64 — one vectorized outer product per row,
+    zero Python-object arithmetic.
     """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    a = rng.integers(1, 1 << 31, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, 1 << 31, size=n_hashes, dtype=np.uint64)
+    p = np.uint64(_MERSENNE)
 
     def sig(sh) -> list[int]:
         # Arrow delivers list columns as numpy arrays — no bool() on them.
         if sh is None or len(sh) == 0:
             return [0] * n_hashes
-        x = _hash_shingles(sh).astype(object)  # object → Python ints, no overflow
-        m = (np.outer(a.astype(object), x) + b.astype(object)[:, None]) % _MERSENNE
-        return [int(v) for v in m.min(axis=1)]
+        x = _hash_shingles(sh)
+        m = (a[:, None] * x[None, :] + b[:, None]) % p
+        return m.min(axis=1).astype(np.int64).tolist()
 
     return shingle_lists.map(sig)
 
@@ -178,9 +226,8 @@ def minhash_lsh_pairs(
     sig_udf = F.pandas_udf(
         lambda s: minhash_signature_series(s, n_hashes), ArrayType(LongType())
     )
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        sig_udf(shingles_col(text_col, n)).alias("sig"),
+    sigs = with_shingles(df, text_col, id_col, n).select(
+        "id", sig_udf(F.col("sh")).alias("sig")
     ).localCheckpoint(eager=False)
 
     bands = sigs.select(
@@ -253,8 +300,8 @@ def simhash_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     udf = F.pandas_udf(lambda s: simhash_series(s), LongType())
-    hashed = df.select(
-        F.col(id_col).alias("id"), udf(shingles_col(text_col, n)).alias("sim")
+    hashed = with_shingles(df, text_col, id_col, n).select(
+        "id", udf(F.col("sh")).alias("sim")
     ).localCheckpoint(eager=False)
 
     chunks = hashed.select(
@@ -306,6 +353,23 @@ def cosine_expr(a: str, b: str) -> Column:
     )
 
 
+def unit_vector_expr(vec: str) -> Column:
+    """array<double> = vec / ||vec|| (computed once, reused across pairs)."""
+    return F.expr(
+        f"""
+        transform({vec}, x -> cast(x AS double)
+          / sqrt(aggregate({vec}, 0D, (acc, v) -> acc + cast(v AS double) * cast(v AS double))))
+        """
+    )
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Dot product of two array<double> columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -317,11 +381,17 @@ def embedding_neardup_pairs(
     Brute-force O(n²) formulation — correct baseline; the scale path buckets
     by random-hyperplane signs first (kgtm.similarity.lsh_topk).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Pre-normalize each vector ONCE (cast + norm divide), so the quadratic
+    # stage computes only a dot product per pair — ~3x fewer flops and no
+    # per-pair norm recomputation.
+    normed = df.select(
+        F.col(id_col).alias("id"), unit_vector_expr(vec_col).alias("u")
+    )
+    a = normed.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", cosine_expr("va", "vb"))
+        pairs.withColumn("cos", dot_expr("ua", "ub"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

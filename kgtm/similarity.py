@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
-from kgtm.dedup import cosine_expr
+from kgtm.dedup import dot_expr, unit_vector_expr
 
 
 def brute_topk(
@@ -33,16 +33,21 @@ def brute_topk(
     """(query_id, neighbor_id, cos, rank) — exact top-k by cosine.
 
     Query side is broadcast (ANN query batches are small relative to the
-    corpus); rank via per-query window with deterministic tie-break.
+    corpus); both sides pre-normalized once so the quadratic stage is a pure
+    dot product; rank via per-query window with deterministic tie-break.
     """
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"), unit_vector_expr(vec_col).alias("qv")
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), unit_vector_expr(vec_col).alias("cv")
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_expr("qv", "cv"))
+        .withColumn("cos", dot_expr("qv", "cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -115,12 +120,12 @@ def lsh_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        unit_vector_expr(vec_col).alias("cv"),
         F.explode(c_udf(F.col(vec_col))).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        unit_vector_expr(vec_col).alias("qv"),
         F.explode(q_udf(F.col(vec_col))).alias("bucket"),
     )
     scored = (
@@ -128,7 +133,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "qv", "cv")
         .distinct()
-        .withColumn("cos", cosine_expr("qv", "cv"))
+        .withColumn("cos", dot_expr("qv", "cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
