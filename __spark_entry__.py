@@ -228,6 +228,66 @@ def _q_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_entities(linked)
 
 
+def _q_config_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.config_overlay import auth_config_col
+
+    df = spark.createDataFrame(
+        [(cid, hdr) for cid, hdr, *_ in oracles.AUTH_CASES],
+        "case_id int, auth_header string",
+    )
+    cfg = auth_config_col("auth_header")
+    return df.select(
+        "case_id",
+        cfg["onto_version"].alias("onto_version"),
+        cfg["format"].alias("format"),
+        cfg["precedence"].alias("precedence"),
+        cfg["restricted"].alias("restricted"),
+    )
+
+
+def _q_effective_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.negotiate import effective_accept_col
+
+    df = spark.createDataFrame(
+        [(cid, hdr) for cid, hdr, *_ in oracles.EFFECTIVE_ACCEPT_CASES],
+        "case_id int, accept_header string",
+    )
+    return df.select(
+        "case_id",
+        "accept_header",
+        effective_accept_col("accept_header", "turtle", "enforcedPriority").alias(
+            "eff_enforced"
+        ),
+        effective_accept_col("accept_header", "turtle", "always").alias("eff_always"),
+    )
+
+
+def _resolved_with_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transcripts(spark, sf_dir)
+    m = extract_mentions(tr)
+    linked = link_mentions(m, ontology_index_df(spark))
+    resolved = resolve_links(linked, ontology_snapshots_df(spark), "latestArchived")
+    return resolved.join(
+        tr.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
+    )
+
+
+def _q_accessibility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.taxonomy import accessibility_matrix
+
+    return accessibility_matrix(
+        _resolved_with_role(spark, sf_dir),
+        pivot_col="role",
+        pivot_values=["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def _q_fully_linked_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.taxonomy import fully_linked_conversations
+
+    return fully_linked_conversations(_resolved_with_role(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (reference semantics)
@@ -240,6 +300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_triples": _q_flagship_triples,
         "accept_negotiation": _q_accept_negotiation,
         "canonical_entities": _q_canonical_entities,
+        "config_overlay": _q_config_overlay,
+        "effective_accept": _q_effective_accept,
+        "accessibility_matrix": _q_accessibility_matrix,
+        "fully_linked_convs": _q_fully_linked_convs,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -269,6 +333,10 @@ def oracle_sql() -> dict[str, str]:
         "resolution_outcomes": oracles.q_resolution_outcomes(),
         "flagship_triples": oracles.q_flagship_triples(),
         "accept_negotiation": oracles.q_accept_negotiation(),
+        "config_overlay": oracles.q_config_overlay(),
+        "effective_accept": oracles.q_effective_accept(),
+        "accessibility_matrix": oracles.q_accessibility_matrix(),
+        "fully_linked_convs": oracles.q_fully_linked_convs(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),
         "quality_stats": oracles.q_quality_stats(),

@@ -107,9 +107,45 @@ def svo_extract_series(texts: pd.Series) -> pd.Series:
 
 svo_extract_udf = F.pandas_udf(svo_extract_series, ArrayType(_TRIPLE_ELEM))
 
+# Codegen twin of _SVO_RE: one capture of the whole "subj pred obj" span.
+# Subjects/verbs/IRIs are space-free tokens, so split-by-space recovers the
+# three groups without sub-captures (regexp_extract_all yields one group).
+_SVO_SPAN_REGEX = (
+    r"((?:[A-Za-z][\w.\-]*|" + IRI_REGEX + r")\s+"
+    r"(?:" + "|".join(SVO_VERBS) + r")\s+"
+    r"(?:" + IRI_REGEX + r"|[A-Z][\w.\-]*))"
+)
+
+
+def svo_spans_col(text: str | Column = "text") -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(_SVO_SPAN_REGEX), 1)
+
 
 def extract_triples(transcripts: DataFrame) -> DataFrame:
-    """(conv_id, turn_idx, subj, pred, obj, conf) from per-turn text."""
+    """(conv_id, turn_idx, subj, pred, obj, conf) from per-turn text.
+
+    Hot path: pure codegen (regexp_extract_all + explode + split) — zero
+    Python in the 100 TB scan. extract_triples_arrow is the pandas-UDF
+    formulation (same semantics, asserted by tests) for grammars that
+    outgrow a single regex.
+    """
+    spans = transcripts.select(
+        "conv_id", "turn_idx", F.explode_outer(svo_spans_col("text")).alias("span")
+    ).filter(F.col("span").isNotNull())
+    toks = F.split(F.regexp_replace("span", r"\s+", " "), " ")
+    return spans.select(
+        "conv_id",
+        "turn_idx",
+        F.get(toks, 0).alias("subj"),
+        F.get(toks, 1).alias("pred"),
+        F.get(toks, 2).alias("obj"),
+        F.lit(1.0).alias("conf"),
+    )
+
+
+def extract_triples_arrow(transcripts: DataFrame) -> DataFrame:
+    """Arrow pandas-UDF SVO extraction (same output as extract_triples)."""
     with_arr = transcripts.select(
         "conv_id", "turn_idx", svo_extract_udf(F.col("text")).alias("triples")
     )

@@ -90,6 +90,92 @@ def link_mentions(mentions: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
+def ladder_link_expr(index_rows: list[tuple[str, str, str]], host_col: str = "host", path_col: str = "path"):
+    """Aggregation-free ladder linking as ONE column expression.
+
+    ``index_rows``: [(host, path, ontology_iri)] — the dictionary embedded as
+    a map literal (the closest translation of the reference's resident
+    in-memory set, download_archivo_urls.py:13). The rung-ordered candidate
+    array is probed with map lookups and the FIRST hit wins — the literal
+    short-circuit of proxy_logic.py:103-141, no groupBy.
+
+    Use when (a) the plan must stay aggregation-free (streaming append mode),
+    or (b) per-row lookup beats a join. For very large dictionaries (>>10^5
+    entries) prefer the broadcast-join paths: a map literal that size bloats
+    the plan.
+
+    Returns struct(is_linked, ontology_iri, canonical_path, rung).
+    """
+    kv = []
+    for h, p, iri in index_rows:
+        kv += [F.lit(f"{h}|{p}"), F.lit(iri)]
+    m = F.create_map(*kv)
+    cands = candidate_paths_col(path_col)
+    probed = F.transform(
+        cands,
+        lambda c: F.struct(
+            c["rung"].alias("rung"),
+            c["cand_path"].alias("cand_path"),
+            m[F.concat(F.col(host_col), F.lit("|"), c["cand_path"])].alias(
+                "ontology_iri"
+            ),
+        ),
+    )
+    first = F.get(F.filter(probed, lambda x: x["ontology_iri"].isNotNull()), 0)
+    return F.struct(
+        first.isNotNull().alias("is_linked"),
+        first["ontology_iri"].alias("ontology_iri"),
+        first["cand_path"].alias("canonical_path"),
+        first["rung"].alias("rung"),
+    )
+
+
+def link_surfaces(surfaces: DataFrame, index: DataFrame) -> DataFrame:
+    """Ladder-link a DISTINCT surface table: (surface, host, path, ...) →
+    + (is_linked, ontology_iri, canonical_path, rung).
+
+    Same ladder as link_mentions but keyed by surface — the right shape when
+    the caller has already reduced to distinct surfaces (e.g. triple terms):
+    the ladder fan-out and broadcast probe run on |distinct surfaces|, not
+    |mentions|.
+    """
+    cands = surfaces.select(
+        "surface", "host", F.explode(candidate_paths_col("path")).alias("cand")
+    ).select(
+        "surface",
+        "host",
+        F.col("cand.rung").alias("rung"),
+        F.col("cand.cand_path").alias("cand_path"),
+    )
+    dict_side = F.broadcast(
+        index.select(
+            F.col("host").alias("d_host"),
+            F.col("path").alias("d_path"),
+            "ontology_iri",
+        )
+    )
+    hits = cands.join(
+        dict_side,
+        (cands["host"] == dict_side["d_host"])
+        & (cands["cand_path"] == dict_side["d_path"]),
+        "inner",
+    )
+    best = hits.groupBy("surface").agg(
+        F.min_by(F.struct("ontology_iri", "cand_path", "rung"), F.col("rung")).alias(
+            "best"
+        )
+    )
+    return surfaces.join(best, "surface", "left").select(
+        "surface",
+        "host",
+        "path",
+        F.col("best").isNotNull().alias("is_linked"),
+        F.col("best.ontology_iri").alias("ontology_iri"),
+        F.col("best.cand_path").alias("canonical_path"),
+        F.col("best.rung").alias("rung"),
+    )
+
+
 def deny_unlinked(linked: DataFrame, restricted_access: bool) -> DataFrame:
     """The deny gate (proxy_logic.py:39-44): under restrictedAccess, mentions
     outside the dictionary get outcome 'denied' (403 analog); otherwise they

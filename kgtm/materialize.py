@@ -1,0 +1,81 @@
+"""Triple-store materialization + per-commit metrics (north_rule).
+
+Writes the final triple table partitioned for consumer access patterns and
+drops a lineage/metrics table beside every commit — the batch analog of the
+reference's download_log.json written next to the downloaded corpus
+(/root/reference/experiments/download_ontologies.py:168-172).
+
+Sandbox note (SURVEY §7 hard-part 4): no Iceberg catalog is available here,
+so the default format is parquet in an Iceberg-compatible layout (partition
+directories + a _commits manifest). ``fmt="iceberg"`` switches to a real
+Iceberg catalog when one is configured on the cluster — the contract
+(partition spec, metrics-beside-commit) is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgtm.metrics import MetricsCollector
+
+
+def write_triples(
+    triples: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = ("source",),
+    metrics: MetricsCollector | None = None,
+    n_output_partitions: int | None = None,
+) -> dict:
+    """Write the triple table + metrics; returns the commit record.
+
+    Partitioning: by `source` (original/archivo-latest/...) — low
+    cardinality, prunes the common "only linked triples" consumers. Within
+    partitions files are sized by AQE coalesce; pass n_output_partitions to
+    force fewer, larger files.
+    """
+    spark = triples.sparkSession
+    commit_id = uuid.uuid4().hex[:12]
+    data_path = os.path.join(out_dir, "triples")
+
+    df = triples
+    if n_output_partitions:
+        df = df.repartition(n_output_partitions, *partition_by)
+
+    mc = metrics or MetricsCollector()
+    with mc.stage("materialize") as rec:
+        if fmt == "iceberg":
+            df.writeTo(f"kgtm.triples_{commit_id}").partitionedBy(
+                *[F.col(c) for c in partition_by]
+            ).createOrReplace()
+        else:
+            df.write.mode("append").partitionBy(*partition_by).parquet(data_path)
+        rec["n_rows_out"] = None  # avoid a second full count pass
+
+    # metrics + commit manifest beside the data
+    mc.to_df(spark).write.mode("append").parquet(
+        os.path.join(out_dir, "metrics", f"commit={commit_id}")
+    )
+    commit = {
+        "commit_id": commit_id,
+        "format": fmt,
+        "partition_by": list(partition_by),
+        "stages": [r["stage"] for r in mc.rows],
+    }
+    os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
+    with open(os.path.join(out_dir, "_commits", f"{commit_id}.json"), "w") as f:
+        json.dump(commit, f)
+    return commit
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "triples"))
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "metrics"))

@@ -151,6 +151,48 @@ def parsed_accept_col(accept_name: str) -> Column:
     return F.expr(expr)
 
 
+def effective_accept_col(
+    accept_name: str,
+    fmt: str,
+    precedence: str,
+    patch_accept_upstream: bool = False,
+    onto_version: str = "latestArchived",
+) -> Column:
+    """The 4-branch conditional Accept rewrite (utils.py:60-100) as ONE
+    CASE WHEN cascade. Config is job-level → folded at plan time."""
+    if onto_version == "original" and not patch_accept_upstream:
+        return F.col(accept_name)
+    mime = get_mime_type(fmt)
+    entries = f"""
+      transform(filter(transform(split({accept_name}, ','), s -> trim(s)), s -> s != ''),
+                s -> trim(split(s, ';')[0]))
+    """
+    n = f"size({entries})"
+    in_default_or_enforced = precedence in ("default", "enforcedPriority")
+    cond_no_accept = (
+        f"({accept_name} IS NULL OR {n} = 0)" if in_default_or_enforced else "false"
+    )
+    cond_star = (
+        f"({n} = 1 AND get({entries}, 0) = '*/*')" if in_default_or_enforced else "false"
+    )
+    cond_enforced = (
+        f"({n} > 1 AND array_contains({entries}, '{mime}'))"
+        if precedence == "enforcedPriority"
+        else "false"
+    )
+    cond_always = "true" if precedence == "always" else "false"
+    return F.expr(
+        f"""
+        CASE WHEN {cond_no_accept} THEN '{mime}'
+             WHEN {cond_star} THEN '{mime}'
+             WHEN {cond_enforced} THEN '{mime}'
+             WHEN {cond_always} THEN '{mime}'
+             ELSE {accept_name}
+        END
+        """
+    )
+
+
 def format_from_accept_col(accept_name: str) -> Column:
     """Full negotiation as ONE column expression over a column name.
 

@@ -330,3 +330,108 @@ def q_frame_samples() -> str:
       FROM documents
       WHERE doc_id % 3 = 2
     """
+
+
+# ===========================================================================
+# Config overlay (B6/B7), effective-accept rewrite (C6), taxonomy (F4-F6)
+# ===========================================================================
+
+import base64 as _b64
+
+
+def _b(s: str) -> str:
+    return _b64.b64encode(s.encode()).decode()
+
+
+# (case_id, auth_header, expected onto_version/format/precedence/restricted)
+AUTH_CASES = [
+    (1, "basic " + _b("--ontoVersion latestArchived --ontoFormat ntriples:pw"),
+     "latestArchived", "ntriples", "enforcedPriority", False),
+    (2, "basic " + _b("--ontoVersion timestampArchived --ontoPrecedence always --restrictedAccess:pw"),
+     "timestampArchived", "turtle", "always", True),
+    (3, "basic " + _b(":pw"),
+     "originalFailoverLiveLatest", "turtle", "enforcedPriority", False),
+    (4, "basic " + _b("--unknownFlag foo:pw"),
+     "originalFailoverLiveLatest", "turtle", "enforcedPriority", False),
+    (5, "bearer xyz", None, None, None, None),
+    (6, None, None, None, None, None),
+]
+
+
+def q_config_overlay() -> str:
+    rows = []
+    for cid, hdr, ov, fmt, prec, res in AUTH_CASES:
+        h = "NULL" if hdr is None else f"'{hdr}'"
+        ovs = "NULL" if ov is None else f"'{ov}'"
+        fs = "NULL" if fmt is None else f"'{fmt}'"
+        ps = "NULL" if prec is None else f"'{prec}'"
+        rs = "NULL" if res is None else str(res).upper()
+        rows.append(f"({cid}, {h}, {ovs}, {fs}, {ps}, {rs})")
+    vals = ",\n      ".join(rows)
+    return f"""
+      SELECT case_id,
+             CAST(onto_version AS VARCHAR) AS onto_version,
+             CAST(format AS VARCHAR) AS format,
+             CAST(precedence AS VARCHAR) AS precedence,
+             CAST(restricted AS BOOLEAN) AS restricted
+      FROM (VALUES
+      {vals}) AS t(case_id, auth_header, onto_version, format, precedence, restricted)
+    """
+
+
+# (case_id, accept_header, expected under enforcedPriority, expected under always)
+EFFECTIVE_ACCEPT_CASES = [
+    (1, None, "text/turtle", "text/turtle"),
+    (2, "", "text/turtle", "text/turtle"),
+    (3, "*/*", "text/turtle", "text/turtle"),
+    (4, "text/html", "text/html", "text/turtle"),
+    (5, "text/turtle;q=0.2,text/html", "text/turtle", "text/turtle"),
+    (6, "application/json,text/html", "application/json,text/html", "text/turtle"),
+]
+
+
+def q_effective_accept() -> str:
+    rows = []
+    for cid, hdr, enf, alw in EFFECTIVE_ACCEPT_CASES:
+        h = "NULL" if hdr is None else f"'{hdr}'"
+        rows.append(f"({cid}, {h}, '{enf}', '{alw}')")
+    vals = ",\n      ".join(rows)
+    return f"""
+      SELECT case_id, CAST(accept_header AS VARCHAR) AS accept_header,
+             eff_enforced, eff_always
+      FROM (VALUES
+      {vals}) AS t(case_id, accept_header, eff_enforced, eff_always)
+    """
+
+
+_CATEGORY_SQL = """
+  CASE WHEN NOT l.is_linked THEN 'unlinked'
+       WHEN l.rung = 0 THEN 'exact-linked'
+       ELSE 'normalized-linked' END
+"""
+
+
+def q_accessibility_matrix() -> str:
+    roles = ["click", "error", "purchase", "signup", "view"]
+    cols = ",\n             ".join(
+        f"count(*) FILTER (WHERE t.role = '{r}') AS {r}" for r in roles
+    )
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES}
+      SELECT {_CATEGORY_SQL} AS category,
+             {cols}
+      FROM links l JOIN transcripts t USING (conv_id, turn_idx)
+      GROUP BY 1
+    """
+
+
+def q_fully_linked_convs() -> str:
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES}
+      SELECT l.conv_id,
+             count(*) AS n_mentions,
+             count(DISTINCT t.role) AS n_roles,
+             (sum(CASE WHEN l.is_linked THEN 1 ELSE 0 END) = count(*)) AS fully_linked
+      FROM links l JOIN transcripts t USING (conv_id, turn_idx)
+      GROUP BY 1
+    """

@@ -17,8 +17,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgtm.extract import extract_mentions, extract_triples
-from kgtm.link import link_mentions
+from kgtm.extract import extract_triples
 from kgtm.resolve import resolve_links
 
 
@@ -34,6 +33,7 @@ class PipelineConfig:
     precedence: str = "default"
     patch_accept_upstream: bool = False
     n_salt: int = 16
+    persist_intermediate: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -55,32 +55,37 @@ def build_triples(
     """
     config = config or PipelineConfig()
 
-    mentions = extract_mentions(transcripts)
-    linked = link_mentions(mentions, ontology_index)
+    # ONE extraction scan feeds everything. The linking side works on the
+    # DISTINCT triple terms (|surfaces| ≈ dictionary size × variant forms —
+    # tiny next to the fact table), so the ladder fan-out, broadcast probe,
+    # and snapshot join never touch the 10^12-row side.
+    triples = extract_triples(transcripts)
+    if config.persist_intermediate:
+        from pyspark.storagelevel import StorageLevel
+
+        # Eager: the dim branch and the final join run in ONE job; a lazy
+        # persist would let both subtrees re-run extraction in parallel
+        # before the cache exists. Materializing here makes extraction a
+        # strictly run-once stage (the 100 TB contract: scan cost x1).
+        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
+        triples.count()
+
+    from kgtm.link import link_surfaces
+    from kgtm.normalize import parse_iri_cols
+
+    surfaces = (
+        triples.select(F.explode(F.array("subj", "obj")).alias("surface"))
+        .filter(F.col("surface").startswith("http"))
+        .distinct()
+        .select("surface", *parse_iri_cols("surface"))
+    )
+    linked = link_surfaces(surfaces, ontology_index)
     resolved = resolve_links(
         linked, ontology_snapshots, config.onto_version, config.pin_ts
     )
-
-    # surface → snapshot dim: distinct linked surfaces with their resolution.
-    # Distinct surface count ≈ dictionary size × ladder variants — compact,
-    # broadcastable; the triples fact side never shuffles for these joins.
-    surface_dim = (
-        resolved.filter(F.col("is_linked"))
-        .groupBy("surface")
-        .agg(
-            F.min_by(
-                F.struct("ontology_iri", "snapshot_iri", "source"), F.col("rung")
-            ).alias("r")
-        )
-        .select(
-            "surface",
-            F.col("r.ontology_iri").alias("ontology_iri"),
-            F.col("r.snapshot_iri").alias("snapshot_iri"),
-            F.col("r.source").alias("source"),
-        )
+    surface_dim = resolved.filter(F.col("is_linked")).select(
+        "surface", "ontology_iri", "snapshot_iri", "source"
     )
-
-    triples = extract_triples(transcripts)
 
     subj_dim = F.broadcast(
         surface_dim.select(

@@ -1,0 +1,137 @@
+"""Structured Streaming ingest variant.
+
+The reference is request-at-a-time dispatch (a stream of HTTP requests
+through proxy.py's event loop — SURVEY §3.1); this module is the same
+resolution pipeline as kgtm.pipeline expressed over a transcript *stream*:
+
+  readStream (file source, transcripts schema) →
+  mention extraction (stateless codegen exprs) →
+  broadcast ladder link + latest-snapshot resolution (stream-static joins) →
+  append sink, exactly-once per file via checkpointLocation.
+
+Also: watermarked per-conversation windowed counts (late-data handling) —
+the streaming twin of turn assembly's groupBy. Full ordered assembly needs
+all turns of a conversation and is inherently batch; the streaming side
+maintains incremental per-conv counters instead.
+
+Tested with trigger(availableNow=True): processes everything present, then
+stops — deterministic in CI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgtm.extract import iri_mentions_col
+from kgtm.link import ladder_link_expr
+from kgtm.normalize import parse_iri_cols
+from kgtm.resolve import latest_snapshots
+from kgtm.schemas import TRANSCRIPTS_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+
+
+def streaming_resolution(
+    stream: DataFrame, ontology_index: DataFrame, snapshots: DataFrame
+) -> DataFrame:
+    """Stream of resolved mention rows.
+
+    Linking uses the aggregation-free map-literal ladder (ladder_link_expr) —
+    append output mode forbids unwatermarked aggregations, and the min-rung
+    groupBy of the batch path IS one. The dictionary is collected driver-side
+    (it is broadcast-sized by design) and folded into the plan; the snapshot
+    dim stays a stream-static broadcast join (joins are append-safe).
+    """
+    index_rows = [
+        (r.host, r.path, r.ontology_iri)
+        for r in ontology_index.select("host", "path", "ontology_iri").collect()
+    ]
+    mentions = stream.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.posexplode(iri_mentions_col("text")).alias("pos", "surface"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.xxhash64("conv_id", "turn_idx", "pos", "surface").alias("mention_id"),
+        "surface",
+        *parse_iri_cols("surface"),
+    )
+    link = ladder_link_expr(index_rows)
+    linked = mentions.select(
+        "*",
+        link["is_linked"].alias("is_linked"),
+        link["ontology_iri"].alias("ontology_iri"),
+        link["canonical_path"].alias("canonical_path"),
+        link["rung"].alias("rung"),
+    )
+    dim = F.broadcast(latest_snapshots(snapshots))
+    return (
+        linked.join(dim, "ontology_iri", "left")
+        .withColumn(
+            "source",
+            F.when(~F.col("is_linked"), F.lit("unlinked"))
+            .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))
+            .otherwise(F.lit("archivo-latest")),
+        )
+    )
+
+
+def run_stream_to_parquet(
+    resolved: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available, exactly-once, then stop."""
+    q = (
+        resolved.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_conv_counts(
+    stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked per-conversation windowed turn counts (late-data safe)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "conv_id",
+            "n_turns",
+            "max_turn_idx",
+        )
+    )
+
+
+def run_windowed_counts(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, **kw
+) -> None:
+    q = (
+        windowed_conv_counts(stream, **kw)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,100 @@
+"""Accessibility/error taxonomy + pivot matrix — the metrics aggregation.
+
+Reference: experiments/aggregate_results.py —
+  map_error_to_category (:60-72): CASE over (error_type, specific) → 4
+      transport categories
+  is_correct_mimetype / is_rdf_mimetype (:75-89): membership checks
+  process_data (:92-151): grouped counting into a 15-category taxonomy × 3
+      formats, plus the "correct for all 3 formats" per-URL conjunction —
+      a two-level aggregation
+  write_to_tsv (:154-187): the pivoted matrix sink
+
+Batch translation over our resolution output: category = CASE over
+(source, rung, snapshot presence); pivot column = role (the per-request
+format analog); the all-formats conjunction becomes "conversation fully
+linked across every role it spoke in".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CATEGORIES = [
+    "exact-linked",          # rung 0 hit
+    "normalized-linked",     # rung 1-5 hit (path was repaired)
+    "linked-no-snapshot",    # in dictionary, no version available (404 analog)
+    "unlinked",              # outside the dictionary
+    "denied",                # restrictedAccess refusals (403 analog)
+]
+
+RDF_MIMETYPES = [
+    "application/rdf+xml",
+    "application/owl+xml",
+    "text/turtle",
+    "application/n-triples",
+    "text/n3",
+    "application/trig",
+    "application/n-quads",
+    "application/ld+json",
+    "text/rdf+n3",
+    "application/x-turtle",
+    "application/xml",
+    "text/xml",
+    "text/plain",
+    "application/json",
+]
+
+
+def category_col(
+    source: str = "source", rung: str = "rung", outcome: str | None = None
+) -> Column:
+    """CASE cascade → taxonomy category (map_error_to_category analog)."""
+    s, r = F.col(source), F.col(rung)
+    base = (
+        F.when(s == "denied", F.lit("denied"))
+        .when(s.isin("unlinked"), F.lit("unlinked"))
+        .when(s == "not-found", F.lit("linked-no-snapshot"))
+        .when(r == 0, F.lit("exact-linked"))
+        .otherwise(F.lit("normalized-linked"))
+    )
+    if outcome:
+        base = F.when(F.col(outcome) == "denied", F.lit("denied")).otherwise(base)
+    return base
+
+
+def is_rdf_mimetype_col(mime: str | Column = "mime") -> Column:
+    m = F.col(mime) if isinstance(mime, str) else mime
+    return m.isin(RDF_MIMETYPES)
+
+
+def accessibility_matrix(
+    resolved: DataFrame,
+    pivot_col: str = "role",
+    pivot_values: list[str] | None = None,
+) -> DataFrame:
+    """category × pivot counts (process_data's 15x3 matrix analog).
+
+    Pass pivot_values explicitly in production: an unpinned pivot triggers a
+    distinct-values collect job AND makes the output schema data-dependent.
+    """
+    cat = resolved.withColumn("category", category_col())
+    piv = cat.groupBy("category").pivot(pivot_col, pivot_values)
+    return piv.agg(F.count(F.lit(1))).na.fill(0)
+
+
+def fully_linked_conversations(resolved: DataFrame) -> DataFrame:
+    """Two-level aggregation: conversations whose EVERY mention linked, per
+    role coverage — the "correct for all 3 formats" conjunction analog
+    (aggregate_results.py:148-150)."""
+    per_conv = resolved.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum(F.when(F.col("is_linked"), 1).otherwise(0)).alias("n_linked"),
+        F.count_distinct("role").alias("n_roles"),
+    )
+    return per_conv.select(
+        "conv_id",
+        "n_mentions",
+        "n_roles",
+        (F.col("n_linked") == F.col("n_mentions")).alias("fully_linked"),
+    )

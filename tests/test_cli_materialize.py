@@ -1,0 +1,89 @@
+"""CLI (spark-submit entry) + materialization contract tests."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgtm.cli import build_parser, parse_stamp
+from kgtm.materialize import read_metrics, read_triples, write_triples
+from kgtm.pipeline import build_triples
+from kgtm.synth import SynthConfig, generate
+from kgtm.transcripts import (
+    events_to_transcripts,
+    ontology_index_df,
+    ontology_snapshots_df,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_parse_stamp_formats():
+    assert parse_stamp("2024.07.01-123000").year == 2024
+    assert parse_stamp("2024-07-01").month == 7
+    with pytest.raises(Exception):
+        parse_stamp("not-a-date")
+
+
+def test_parser_requires_timestamp_for_pinned_mode():
+    p = build_parser()
+    args = p.parse_args(
+        ["--transcripts", "t", "--ontology-index", "i", "--snapshots", "s",
+         "--out", "o", "--onto-version", "timestampArchived"]
+    )
+    assert args.timestamp is None  # main() rejects this combination (exit 2)
+
+
+def test_write_and_read_triples(spark, events, tmp_path):
+    tr = events_to_transcripts(events)
+    triples = build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
+    commit = write_triples(triples, str(tmp_path / "store"))
+    assert commit["commit_id"]
+    back = read_triples(spark, str(tmp_path / "store"))
+    assert back.count() == triples.count()
+    # partition pruning by source actually prunes files
+    linked_only = back.filter(F.col("source") == "archivo-latest")
+    assert 0 < linked_only.count() < back.count()
+    m = read_metrics(spark, str(tmp_path / "store"))
+    assert m.filter(F.col("stage") == "materialize").count() == 1
+
+
+def test_cli_end_to_end_subprocess(tmp_path):
+    """Drive the real CLI as spark-submit would (fresh python == fresh JVM)."""
+    corpus = tmp_path / "corpus"
+    generate(SynthConfig(seed=11, n_convs=40, n_ontologies=15), out_dir=str(corpus))
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "kgtm" / "cli.py"),
+            "--transcripts", str(corpus / "transcripts.parquet"),
+            "--ontology-index", str(corpus / "ontology_index.parquet"),
+            "--snapshots", str(corpus / "ontology_snapshots.parquet"),
+            "--out", str(tmp_path / "out"),
+            "--golden", str(corpus / "golden_triples.parquet"),
+            "--onto-version", "latestArchived",
+            "--cores", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["pr"]["precision"] >= 0.95
+    assert report["pr"]["recall"] >= 0.95
+
+
+def test_cli_rejects_pin_mode_without_timestamp():
+    from kgtm.cli import main
+
+    rc = main(
+        ["--transcripts", "t", "--ontology-index", "i", "--snapshots", "s",
+         "--out", "o", "--onto-version", "timestampArchived"]
+    )
+    assert rc == 2
