@@ -41,6 +41,7 @@ def link_mentions(mentions: DataFrame, index: DataFrame) -> DataFrame:
         "turn_idx",
         "surface",
         "host",
+        "path",
         F.explode(candidate_paths_col("path")).alias("cand"),
     ).select(
         "mention_id",
@@ -48,6 +49,7 @@ def link_mentions(mentions: DataFrame, index: DataFrame) -> DataFrame:
         "turn_idx",
         "surface",
         "host",
+        "path",
         F.col("cand.rung").alias("rung"),
         F.col("cand.cand_path").alias("cand_path"),
     )
@@ -60,33 +62,37 @@ def link_mentions(mentions: DataFrame, index: DataFrame) -> DataFrame:
         )
     )
 
-    hits = cands.join(
+    # LEFT probe + ONE groupBy: unlinked mentions survive with a null best,
+    # so no join-back to the mention table is needed — the whole stage is a
+    # broadcast probe plus a single mention_id shuffle (min_by ignores rows
+    # whose ordering expression is null, i.e. the non-hit candidate rows).
+    probed = cands.join(
         dict_side,
         (cands["host"] == dict_side["d_host"])
         & (cands["cand_path"] == dict_side["d_path"]),
-        "inner",
+        "left",
     )
-
-    best = hits.groupBy("mention_id").agg(
+    hit_rung = F.when(F.col("d_host").isNotNull(), F.col("rung"))
+    return probed.groupBy("mention_id").agg(
+        F.first("conv_id").alias("conv_id"),
+        F.first("turn_idx").alias("turn_idx"),
+        F.first("surface").alias("surface"),
+        F.first("host").alias("host"),
+        F.first("path").alias("path"),
         F.min_by(
-            F.struct("ontology_iri", "cand_path", "rung"), F.col("rung")
-        ).alias("best")
-    )
-
-    return (
-        mentions.join(best, "mention_id", "left")
-        .select(
-            "mention_id",
-            "conv_id",
-            "turn_idx",
-            "surface",
-            "host",
-            "path",
-            F.col("best").isNotNull().alias("is_linked"),
-            F.col("best.ontology_iri").alias("ontology_iri"),
-            F.col("best.cand_path").alias("canonical_path"),
-            F.col("best.rung").alias("rung"),
-        )
+            F.struct("ontology_iri", "cand_path", "rung"), hit_rung
+        ).alias("best"),
+    ).select(
+        "mention_id",
+        "conv_id",
+        "turn_idx",
+        "surface",
+        "host",
+        "path",
+        F.col("best").isNotNull().alias("is_linked"),
+        F.col("best.ontology_iri").alias("ontology_iri"),
+        F.col("best.cand_path").alias("canonical_path"),
+        F.col("best.rung").alias("rung"),
     )
 
 

@@ -59,6 +59,56 @@ def asof_snapshots(snapshots: DataFrame, pin_ts: dt.datetime) -> DataFrame:
     return latest_snapshots(snapshots.filter(F.col("version_ts") <= F.lit(pin_ts)))
 
 
+def dependency_closure(
+    snapshots: DataFrame, roots: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Transitive dependency closure of snapshot IRIs.
+
+    The reference designed (but disabled) per-version dependency resolution:
+    fetch_dependency_manifest walks ex-version:dependency edges of a pinned
+    snapshot (proxy_logic.py:276-307, model at tests/dependency.ttl:1-25).
+    Batch translation: iterative self-join over the (snapshot_iri, deps)
+    edge list until fixpoint — same loop skeleton as connected components,
+    localCheckpoint per round to cut lineage.
+
+    roots: DataFrame with column snapshot_iri. Returns (root_snapshot_iri,
+    snapshot_iri, depth) — every snapshot reachable from each root,
+    min depth, including the root itself at depth 0.
+    """
+    edges = snapshots.select(
+        F.col("snapshot_iri").alias("parent"), F.explode_outer("deps").alias("child")
+    ).filter(F.col("child").isNotNull())
+
+    frontier = roots.select(
+        F.col("snapshot_iri").alias("root_snapshot_iri"),
+        F.col("snapshot_iri").alias("snapshot_iri"),
+        F.lit(0).alias("depth"),
+    ).localCheckpoint(eager=True)
+    closure = frontier
+
+    for depth in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(edges, frontier["snapshot_iri"] == edges["parent"], "inner")
+            .select(
+                "root_snapshot_iri",
+                F.col("child").alias("snapshot_iri"),
+                F.lit(depth).alias("depth"),
+            )
+            .join(
+                closure.select("root_snapshot_iri", "snapshot_iri"),
+                ["root_snapshot_iri", "snapshot_iri"],
+                "left_anti",
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        closure = closure.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return closure
+
+
 def resolve_links(
     linked: DataFrame,
     snapshots: DataFrame,
