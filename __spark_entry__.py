@@ -200,9 +200,9 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kgtm.dedup import embedding_neardup_pairs
+    from kgtm.dedup import embedding_neardup_blocked
 
-    return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.5)
+    return embedding_neardup_blocked(_embs(spark, sf_dir), threshold=0.5, n_blocks=8)
 
 
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +288,22 @@ def _q_fully_linked_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fully_linked_conversations(_resolved_with_role(spark, sf_dir))
 
 
+def _q_dependency_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.resolve import dependency_closure
+
+    snaps = ontology_snapshots_df(spark)
+    roots = snaps.filter(F.col("ontology_iri").endswith("/view")).select("snapshot_iri")
+    return dependency_closure(snaps, roots)
+
+
+def _q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.extract import gazetteer_mentions
+
+    tr = _transcripts(spark, sf_dir)
+    found = gazetteer_mentions(tr, ["click", "error", "purchase", "signup", "view"])
+    return found.groupBy("surface").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (reference semantics)
@@ -304,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_accept": _q_effective_accept,
         "accessibility_matrix": _q_accessibility_matrix,
         "fully_linked_convs": _q_fully_linked_convs,
+        "dependency_closure": _q_dependency_closure,
+        "gazetteer_mentions": _q_gazetteer_mentions,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -337,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_accept": oracles.q_effective_accept(),
         "accessibility_matrix": oracles.q_accessibility_matrix(),
         "fully_linked_convs": oracles.q_fully_linked_convs(),
+        "dependency_closure": oracles.q_dependency_closure(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),
         "quality_stats": oracles.q_quality_stats(),

@@ -341,6 +341,71 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def embedding_neardup_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via BLOCKED matrix multiply.
+
+    The naive crossJoin ships O(N^2) vector-carrying pair rows; here each
+    vector is replicated to its n_blocks block-pair tasks (O(N x B) movement)
+    and each task runs ONE BLAS matmul over its two blocks — the standard
+    out-of-core GEMM decomposition, expressed as groupBy(block-pair) +
+    applyInPandas. Pick n_blocks so a block pair (2N/B vectors x dim floats)
+    fits executor memory; results are exact and identical to
+    embedding_neardup_pairs.
+    """
+    # Ship RAW vectors and normalize with numpy inside the task: evaluating a
+    # higher-order normalize expression on every replica costs more than the
+    # matmul itself (measured).
+    raw = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("u"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    js = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    tasks = raw.select("id", "u", "blk", F.explode(js).alias("other")).select(
+        "id",
+        "u",
+        "blk",
+        F.least("blk", "other").alias("bi"),
+        F.greatest("blk", "other").alias("bj"),
+    )
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+
+        def unit(rows: pd.Series) -> np.ndarray:
+            M = np.stack(rows.to_numpy()).astype(np.float64)
+            return M / np.linalg.norm(M, axis=1, keepdims=True)
+
+        a = pdf[pdf["blk"] == bi]
+        ids_a = a["id"].to_numpy()
+        A = unit(a["u"])
+        if bi == bj:
+            M = A @ A.T
+            ia, ib = np.nonzero(M >= threshold)
+            keep = ids_a[ia] < ids_a[ib]
+            id_a, id_b, cos = ids_a[ia][keep], ids_a[ib][keep], M[ia, ib][keep]
+        else:
+            b = pdf[pdf["blk"] == bj]
+            ids_b = b["id"].to_numpy()
+            B = unit(b["u"])
+            M = A @ B.T
+            ia, ib = np.nonzero(M >= threshold)
+            lo = np.minimum(ids_a[ia], ids_b[ib])
+            hi = np.maximum(ids_a[ia], ids_b[ib])
+            id_a, id_b, cos = lo, hi, M[ia, ib]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": np.round(cos, 6)})
+
+    return tasks.groupBy("bi", "bj").applyInPandas(
+        compute, "id_a long, id_b long, cos double"
+    )
+
+
 def cosine_expr(a: str, b: str) -> Column:
     """Cosine similarity of two array<float/double> columns — JVM expr."""
     return F.expr(

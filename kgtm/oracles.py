@@ -435,3 +435,47 @@ def q_fully_linked_convs() -> str:
       FROM links l JOIN transcripts t USING (conv_id, turn_idx)
       GROUP BY 1
     """
+
+
+# ===========================================================================
+# Dependency closure (D6) — recursive CTE oracle
+# ===========================================================================
+
+from kgtm.transcripts import ontology_snapshot_rows as _snap_rows
+
+
+def _duckdb_snapshot_edges_values() -> str:
+    rows = []
+    for _iri, _ts, snap, _url, deps in _snap_rows():
+        lst = "[" + ", ".join(f"'{d}'" for d in deps) + "]"
+        rows.append(f"('{snap}', {lst})")
+    return (
+        "(VALUES\n      "
+        + ",\n      ".join(rows)
+        + ") AS snap_deps(snapshot_iri, deps)"
+    )
+
+
+def q_dependency_closure(root_prefix: str = "view") -> str:
+    """Closure from all snapshots of the `view` ontology, min depth per node."""
+    return f"""
+      WITH RECURSIVE
+      snap_deps AS (SELECT * FROM {_duckdb_snapshot_edges_values()}),
+      edges AS (
+        SELECT snapshot_iri AS parent, unnest(deps) AS child FROM snap_deps
+      ),
+      roots AS (
+        SELECT snapshot_iri FROM snap_deps
+        WHERE snapshot_iri LIKE '%/{root_prefix}/%'
+      ),
+      walk AS (
+        SELECT snapshot_iri AS root_snapshot_iri, snapshot_iri, 0 AS depth
+        FROM roots
+        UNION ALL
+        SELECT w.root_snapshot_iri, e.child, w.depth + 1
+        FROM walk w JOIN edges e ON w.snapshot_iri = e.parent
+        WHERE w.depth < 20
+      )
+      SELECT root_snapshot_iri, snapshot_iri, CAST(min(depth) AS INT) AS depth
+      FROM walk GROUP BY 1, 2
+    """

@@ -133,20 +133,35 @@ def ontology_index_rows() -> list[tuple[str, str, str, str]]:
     ]
 
 
+def _snapshot_iri(et: str, stamp: str) -> str:
+    return f"https://databus.example.org/ontologies/{DICT_HOST}/{et}/{stamp}"
+
+
+def _n_versions(et: str) -> int:
+    # Deterministic per-ontology version count: 'click' 1, 'error' 2, rest 3
+    return {"click": 1, "error": 2}.get(et, 3)
+
+
 def ontology_snapshot_rows() -> list[tuple]:
     rows = []
-    for et in EVENT_TYPES:
+    for i, et in enumerate(EVENT_TYPES):
         iri = f"http://{DICT_HOST}/{et}"
-        # Deterministic per-ontology version count: 'click' 1, 'error' 2, rest 3
-        n = {"click": 1, "error": 2}.get(et, 3)
-        for stamp in _SNAPSHOT_STAMPS[:n]:
+        for stamp in _SNAPSHOT_STAMPS[: _n_versions(et)]:
+            # dependency chain: each snapshot depends on the SAME-stamp
+            # snapshot of the previous event-type ontology, when it exists
+            # (models tests/dependency.ttl's versioned dep edges)
+            deps = []
+            if i > 0:
+                prev = EVENT_TYPES[i - 1]
+                if stamp in _SNAPSHOT_STAMPS[: _n_versions(prev)]:
+                    deps.append(_snapshot_iri(prev, stamp))
             rows.append(
                 (
                     iri,
                     _stamp_to_ts(stamp),
-                    f"https://databus.example.org/ontologies/{DICT_HOST}/{et}/{stamp}",
+                    _snapshot_iri(et, stamp),
                     f"https://archivo.example.org/download?o={iri}&f=ttl&v={stamp}",
-                    [],
+                    deps,
                 )
             )
     return rows

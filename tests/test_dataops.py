@@ -103,6 +103,22 @@ def test_embedding_neardup(spark):
     assert pairs == [(0, 1)]
 
 
+def test_embedding_neardup_blocked_equals_brute(spark, embeddings):
+    from kgtm.dedup import embedding_neardup_blocked
+
+    brute = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_neardup_pairs(embeddings, threshold=0.45).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_neardup_blocked(
+            embeddings, threshold=0.45, n_blocks=4
+        ).collect()
+    }
+    assert brute == blocked and len(brute) > 0
+
+
 # ---------------------------------------------------------------------------
 # textstats
 # ---------------------------------------------------------------------------
