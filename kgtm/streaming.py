@@ -101,6 +101,65 @@ def run_stream_to_parquet(
     q.awaitTermination()
 
 
+def stateful_conv_progress(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-conversation incremental progress.
+
+    applyInPandasWithState keeps (n_turns, max_turn_idx, n_mentions) per
+    conv_id across micro-batches — the streaming analog of the proxy's
+    connection-state stash (custom_proxy.py:69-77,190-195: state carried
+    across requests of one connection). Emits one updated row per
+    conversation per micro-batch that touched it.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns bigint, max_turn_idx int, n_mentions bigint"
+    state_schema = "n_turns bigint, max_turn_idx int, n_mentions bigint"
+
+    def update(key, pdfs, state):
+        n, mx, nm = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+                nm += int(
+                    pdf["text"].fillna("").str.count(r"https?://").sum()
+                )
+        state.update((n, mx, nm))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "max_turn_idx": [mx],
+                "n_mentions": [nm],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_stateful_progress(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain with foreachBatch (update-mode output needs an upsert-capable
+    sink; per-batch parquet parts keep the latest row per conv per batch)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stateful_conv_progress(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_conv_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

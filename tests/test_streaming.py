@@ -3,6 +3,8 @@ windowed counts, stream-batch parity."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -59,6 +61,39 @@ def test_stream_exactly_once_on_rerun(spark, events, stream_dirs):
         run_stream_to_parquet(resolved, out_dir, ck_dir)
     n = spark.read.parquet(out_dir).count()
     assert n == events.count()  # one planted IRI per turn, no duplicates
+
+
+def test_stateful_conv_progress(spark, events, stream_dirs):
+    """applyInPandasWithState accumulates across micro-batches: the FINAL
+    emitted row per conversation equals the batch ground truth."""
+    from kgtm.streaming import run_stateful_progress
+
+    in_dir, out_dir, ck_dir = stream_dirs
+    # many small files → several micro-batches (maxFilesPerTrigger=8)
+    tr = spark.read.parquet(in_dir)
+    multi = str(Path(in_dir).parent / "in_many")
+    tr.repartition(24).write.parquet(multi)
+
+    stream = read_transcript_stream(spark, multi)
+    run_stateful_progress(stream, out_dir, ck_dir)
+
+    got = spark.read.parquet(out_dir)
+    # keep the last (max n_turns) emission per conv
+    final = got.groupBy("conv_id").agg(
+        F.max("n_turns").alias("n_turns"),
+        F.max("max_turn_idx").alias("max_turn_idx"),
+        F.max("n_mentions").alias("n_mentions"),
+    )
+    truth = tr.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("t_n"),
+        F.max("turn_idx").alias("t_max"),
+    )
+    j = final.join(truth, "conv_id")
+    assert j.filter(
+        (F.col("n_turns") != F.col("t_n")) | (F.col("max_turn_idx") != F.col("t_max"))
+    ).count() == 0
+    # one planted IRI per turn → n_mentions == n_turns
+    assert j.filter(F.col("n_mentions") != F.col("n_turns")).count() == 0
 
 
 def test_windowed_counts_with_watermark(spark, events, stream_dirs):
