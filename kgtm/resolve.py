@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ONTO_VERSION_MODES = [
@@ -39,6 +39,32 @@ ONTO_VERSION_MODES = [
     "latestArchived",
     "timestampArchived",
 ]
+
+
+ARCHIVO_API = "https://archivo.dbpedia.org/download"
+
+
+def archivo_api_url_col(
+    ontology_iri: str | Column = "ontology_iri",
+    fmt: str | Column = "format",
+    version_stamp: str | Column | None = None,
+) -> Column:
+    """Archivo API URL assembly (C8): f"{api}?o={iri}&f={fmt}[&v={ts}]"
+    (proxy_logic.py:251,258,271). NULL format propagates (the 500 analog of
+    the early-format gate, proxy_logic.py:173-176)."""
+    iri = F.col(ontology_iri) if isinstance(ontology_iri, str) else ontology_iri
+    f_ = F.col(fmt) if isinstance(fmt, str) else fmt
+    url = F.concat(F.lit(f"{ARCHIVO_API}?o="), iri, F.lit("&f="), f_)
+    if version_stamp is not None:
+        v = F.col(version_stamp) if isinstance(version_stamp, str) else version_stamp
+        url = F.concat(url, F.lit("&v="), v)
+    return url
+
+
+def version_stamp_col(version_ts: str | Column = "version_ts") -> Column:
+    """timestamp → Archivo stamp string YYYY.MM.DD-HHMMSS (dependency.ttl:8)."""
+    t = F.col(version_ts) if isinstance(version_ts, str) else version_ts
+    return F.date_format(t, "yyyy.MM.dd-HHmmss")
 
 
 def latest_snapshots(snapshots: DataFrame) -> DataFrame:

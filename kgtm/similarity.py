@@ -128,12 +128,16 @@ def lsh_topk(
         unit_vector_expr(vec_col).alias("qv"),
         F.explode(q_udf(F.col(vec_col))).alias("bucket"),
     )
+    # Compute cos per candidate row, then dedupe multi-bucket pairs on the
+    # SCALAR (query_id, neighbor_id, cos) — never shuffle vectors through a
+    # distinct. Duplicate pairs recompute one dot product each; that is far
+    # cheaper than moving two dim-sized arrays per pair through an exchange.
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .distinct()
         .withColumn("cos", dot_expr("qv", "cv"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -201,3 +201,27 @@ def test_extract_triples_on_events(spark, events):
     rows = t.collect()
     assert len(rows) == events.count()
     assert all(r.subj == "agent" and r.pred == "uses" for r in rows)
+
+
+def test_archivo_api_url_assembly(spark):
+    """C8: f"{archivo_api}?o={iri}&f={fmt}[&v={ts}]" (proxy_logic.py:251,271)."""
+    import datetime as dt
+
+    from kgtm.resolve import archivo_api_url_col, version_stamp_col
+
+    df = spark.createDataFrame(
+        [("http://h/a", "ttl", dt.datetime(2024, 1, 24, 21, 54, 15))],
+        "ontology_iri string, format string, version_ts timestamp",
+    )
+    row = df.select(
+        archivo_api_url_col().alias("latest_url"),
+        archivo_api_url_col(version_stamp=version_stamp_col()).alias("pinned_url"),
+    ).collect()[0]
+    assert row.latest_url == "https://archivo.dbpedia.org/download?o=http://h/a&f=ttl"
+    assert (
+        row.pinned_url
+        == "https://archivo.dbpedia.org/download?o=http://h/a&f=ttl&v=2024.01.24-215415"
+    )
+    # NULL format propagates (early-format-gate 500 analog)
+    df2 = spark.createDataFrame([("http://h/a", None)], "ontology_iri string, format string")
+    assert df2.select(archivo_api_url_col().alias("u")).collect()[0].u is None
