@@ -304,6 +304,18 @@ def _q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return found.groupBy("surface").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.sessions import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap="30 minutes")
+
+
+def _q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.sessions import rollup_event_metrics
+
+    return rollup_event_metrics(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (reference semantics)
@@ -322,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fully_linked_convs": _q_fully_linked_convs,
         "dependency_closure": _q_dependency_closure,
         "gazetteer_mentions": _q_gazetteer_mentions,
+        "session_windows": _q_session_windows,
+        "rollup_metrics": _q_rollup_metrics,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -356,6 +370,8 @@ def oracle_sql() -> dict[str, str]:
         "accessibility_matrix": oracles.q_accessibility_matrix(),
         "fully_linked_convs": oracles.q_fully_linked_convs(),
         "dependency_closure": oracles.q_dependency_closure(),
+        "session_windows": oracles.q_session_windows(30),
+        "rollup_metrics": oracles.q_rollup_metrics(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),
         "quality_stats": oracles.q_quality_stats(),

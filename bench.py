@@ -116,6 +116,7 @@ def main() -> None:
         t0 = time.perf_counter()
         force(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # no cross-query cache pollution
 
     # CPU-bound flagship throughput on the amplified corpus (time the whole
     # build: build_triples materializes its persisted stage eagerly)

@@ -479,3 +479,41 @@ def q_dependency_closure(root_prefix: str = "view") -> str:
       SELECT root_snapshot_iri, snapshot_iri, CAST(min(depth) AS INT) AS depth
       FROM walk GROUP BY 1, 2
     """
+
+
+# ===========================================================================
+# Sessionization + rollup (gaps-and-islands twin / GROUPING SETS twin)
+# ===========================================================================
+
+
+def q_session_windows(gap_minutes: int = 30) -> str:
+    return f"""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {gap_minutes} MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      ),
+      islands AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+      )
+      SELECT user_id, min(ts) AS session_start,
+             count(*) AS n_events,
+             round(sum(value), 4) AS total_value
+      FROM islands GROUP BY user_id, island
+    """
+
+
+def q_rollup_metrics() -> str:
+    return """
+      SELECT event_type, user_id,
+             count(*) AS n_events,
+             round(sum(value), 4) AS total_value,
+             CAST(grouping(event_type) * 2 + grouping(user_id) AS BIGINT) AS gid
+      FROM events
+      GROUP BY ROLLUP (event_type, user_id)
+    """
