@@ -304,6 +304,13 @@ def _q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return found.groupBy("surface").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_clusters(ngram_jaccard_pairs(docs, threshold=0.5), docs)
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.sessions import sessionize
 
@@ -336,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_mentions": _q_gazetteer_mentions,
         "session_windows": _q_session_windows,
         "rollup_metrics": _q_rollup_metrics,
+        "dedup_clusters": _q_dedup_clusters,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -372,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "dependency_closure": oracles.q_dependency_closure(),
         "session_windows": oracles.q_session_windows(30),
         "rollup_metrics": oracles.q_rollup_metrics(),
+        "dedup_clusters": oracles.q_dedup_clusters(0.5),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),
         "quality_stats": oracles.q_quality_stats(),

@@ -262,6 +262,35 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs → clusters → survivor pick.
+
+    Composition: connected components over the pair graph (transitive
+    closure — A~B, B~C ⇒ one cluster even if A,C never compared), survivor =
+    min id per cluster. Returns (id, cluster_id, is_survivor) covering EVERY
+    id in ``all_ids`` (singletons are their own cluster).
+    """
+    from kgtm.canonicalize import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comps = connected_components(edges)
+    ids = all_ids.select(F.col(id_col).cast("string").alias("id_str"), F.col(id_col).alias("id"))
+    out = ids.join(comps, ids["id_str"] == comps["node"], "left").select(
+        "id",
+        F.coalesce(F.col("component"), F.col("id_str")).alias("cluster_id"),
+    )
+    # survivor = min id within cluster (deterministic, matches exact_dedup)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id")
+    return out.withColumn(
+        "is_survivor", F.col("id") == F.min("id").over(w)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -517,3 +517,37 @@ def q_rollup_metrics() -> str:
       FROM events
       GROUP BY ROLLUP (event_type, user_id)
     """
+
+
+def q_dedup_clusters(threshold: float = 0.5) -> str:
+    """Near-dup clustering twin: recursive reachability closure over the
+    exact-Jaccard pair graph, cluster label = lexicographic min reachable id
+    (matching connected_components' string-label semantics), survivor =
+    numeric min id per cluster."""
+    return f"""
+      WITH RECURSIVE {WORDS_CTE}, {SHINGLES_CTE},
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               count(*) AS ni
+        FROM flat a JOIN flat b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        WHERE ni * 1.0 / (n_a + n_b - ni) >= {threshold}),
+      und AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+      ),
+      clus AS (
+        SELECT src AS id, min(CAST(dst AS VARCHAR)) AS cluster_id
+        FROM reach GROUP BY src
+      )
+      SELECT id, cluster_id,
+             id = min(id) OVER (PARTITION BY cluster_id) AS is_survivor
+      FROM clus
+    """
