@@ -311,6 +311,18 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(ngram_jaccard_pairs(docs, threshold=0.5), docs)
 
 
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.sessions import value_percentiles
+
+    return value_percentiles(_events(spark, sf_dir))
+
+
+def _q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.sessions import value_percentiles_approx
+
+    return value_percentiles_approx(_events(spark, sf_dir))
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.sessions import sessionize
 
@@ -344,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "rollup_metrics": _q_rollup_metrics,
         "dedup_clusters": _q_dedup_clusters,
+        "value_percentiles": _q_value_percentiles,
+        "value_percentiles_approx": _q_value_percentiles_approx,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -381,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": oracles.q_session_windows(30),
         "rollup_metrics": oracles.q_rollup_metrics(),
         "dedup_clusters": oracles.q_dedup_clusters(0.5),
+        "value_percentiles": oracles.q_value_percentiles(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),
         "quality_stats": oracles.q_quality_stats(),

@@ -103,7 +103,10 @@ def synth_pr(spark) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
 
     spark = get_spark(app_name="kgtm-bench", cores=cpus, shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")

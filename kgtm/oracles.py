@@ -551,3 +551,13 @@ def q_dedup_clusters(threshold: float = 0.5) -> str:
              id = min(id) OVER (PARTITION BY cluster_id) AS is_survivor
       FROM clus
     """
+
+
+def q_value_percentiles() -> str:
+    return """
+      SELECT event_type, count(*) AS n_events,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.95), 4) AS p95,
+             round(quantile_cont(value, 0.99), 4) AS p99
+      FROM events GROUP BY event_type
+    """

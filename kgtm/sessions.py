@@ -46,6 +46,33 @@ def sessionize(
     )
 
 
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of `value` per event_type.
+
+    percentile() is the exact (sort-based) aggregate — at 100 TB you would
+    swap in percentile_approx (t-digest sketch, mergeable, one pass); both
+    are one-line changes and the approx twin is exposed as
+    ``value_percentiles_approx``.
+    """
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def value_percentiles_approx(events: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Sketch-based percentiles (mergeable, single-pass — the scale path)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile_approx("value", 0.5, accuracy).alias("p50"),
+        F.percentile_approx("value", 0.95, accuracy).alias("p95"),
+        F.percentile_approx("value", 0.99, accuracy).alias("p99"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
 def rollup_event_metrics(events: DataFrame) -> DataFrame:
     """Multi-level aggregate: (event_type, user_id) rollup with grand total.
 
