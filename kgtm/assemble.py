@@ -83,14 +83,5 @@ def assemble_conversations_salted(
     )
 
 
-def turn_fidelity_check(original: DataFrame, roundtrip: DataFrame) -> int:
-    """#turns whose text differs after assembly→explode round-trip (expect 0)."""
-    back = roundtrip.select(
-        "conv_id", F.posexplode(F.split("conv_text", "\n")).alias("turn_idx", "text")
-    )
-    joined = original.select("conv_id", "turn_idx", "text").join(
-        back, ["conv_id", "turn_idx"], "full_outer"
-    )
-    return joined.filter(
-        ~(original["text"].eqNullSafe(back["text"]))
-    ).count()
+# (The per-turn fidelity invariant is asserted by
+# tests/test_assemble.py::test_per_turn_text_fidelity_roundtrip.)

@@ -225,3 +225,15 @@ def test_sample_frames(spark, documents):
     got = frames.groupBy("asset_id").count().collect()
     for r in got:
         assert r["count"] == (r.asset_id % 5) + 1
+
+
+def test_cosine_expr_matches_numpy(spark):
+    import numpy as np
+
+    from kgtm.dedup import cosine_expr
+
+    a, b = [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "va array<float>, vb array<float>")
+    got = df.select(cosine_expr("va", "vb").alias("c")).collect()[0].c
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got - want) < 1e-9

@@ -102,3 +102,17 @@ def test_spark_negotiation_matches_pure(spark):
     }
     for header, expected in ACCEPT_CASES:
         assert got[header] == expected, header
+
+
+def test_parsed_accept_col_structure(spark):
+    from kgtm.negotiate import parsed_accept_col
+
+    df = spark.createDataFrame(
+        [("text/html,application/xml;q=0.9,*/*;q=0.8",)], "accept_header string"
+    )
+    arr = df.select(parsed_accept_col("accept_header").alias("a")).collect()[0].a
+    assert [(e.mime, e.q) for e in arr] == [
+        ("text/html", 1.0),
+        ("application/xml", 0.9),
+        ("*/*", 0.8),
+    ]
