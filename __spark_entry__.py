@@ -192,6 +192,13 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=6)
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.similarity import lsh_topk
 
@@ -323,6 +330,54 @@ def _q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_percentiles_approx(_events(spark, sf_dir))
 
 
+def _q_request_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §3.1 lifecycle in one plan: per-turn Accept header →
+    negotiation → ladder link → latest-version resolution → Archivo API URL
+    + status taxonomy (200/404/500/passthrough)."""
+    from kgtm.negotiate import format_from_accept_col
+    from kgtm.resolve import archivo_api_url_col, latest_snapshots, version_stamp_col
+
+    tr = _transcripts(spark, sf_dir)
+    m = extract_mentions(tr)
+    linked = link_mentions(m, ontology_index_df(spark))
+    k6 = (
+        F.regexp_extract("text", r"k=([0-9]+)", 1).try_cast("long") % 6
+    ).cast("int")
+    with_hdr = (
+        linked.join(tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        .withColumn(
+            "accept_header",
+            F.element_at(
+                F.array(*[F.lit(h) for h in oracles.LIFECYCLE_HEADERS]), k6 + 1
+            ),
+        )
+        .withColumn("format", format_from_accept_col("accept_header"))
+    )
+    dim = F.broadcast(latest_snapshots(ontology_snapshots_df(spark)))
+    out = with_hdr.join(dim, "ontology_iri", "left")
+    status = (
+        F.when(~F.col("is_linked"), F.lit("passthrough"))
+        .when(F.col("format").isNull(), F.lit("500"))
+        .when(F.col("snapshot_iri").isNull(), F.lit("404"))
+        .otherwise(F.lit("200"))
+    )
+    url = F.when(
+        F.col("is_linked")
+        & F.col("snapshot_iri").isNotNull()
+        & F.col("format").isNotNull(),
+        archivo_api_url_col("ontology_iri", "format", version_stamp_col("version_ts")),
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "accept_header",
+        "format",
+        "ontology_iri",
+        status.alias("status"),
+        url.alias("request_url"),
+    )
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.sessions import sessionize
 
@@ -356,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "rollup_metrics": _q_rollup_metrics,
         "dedup_clusters": _q_dedup_clusters,
+        "request_lifecycle": _q_request_lifecycle,
         "value_percentiles": _q_value_percentiles,
         "value_percentiles_approx": _q_value_percentiles_approx,
         # training-data ops
@@ -368,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "media_meta": _q_media_meta,
         "frame_samples": _q_frame_samples,
@@ -395,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": oracles.q_session_windows(30),
         "rollup_metrics": oracles.q_rollup_metrics(),
         "dedup_clusters": oracles.q_dedup_clusters(0.5),
+        "request_lifecycle": oracles.q_request_lifecycle(),
         "value_percentiles": oracles.q_value_percentiles(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),

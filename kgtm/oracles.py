@@ -561,3 +561,51 @@ def q_value_percentiles() -> str:
              round(quantile_cont(value, 0.99), 4) AS p99
       FROM events GROUP BY event_type
     """
+
+
+# ===========================================================================
+# Full request lifecycle (SURVEY §3.1): accept → format → ladder → version →
+# API URL → status taxonomy, in one query.
+# ===========================================================================
+
+# deterministic per-turn Accept header: index k % 6 into this list
+LIFECYCLE_HEADERS = [
+    "text/turtle",                                  # → ttl
+    "application/rdf+xml,text/turtle;q=0.9",        # → owl
+    "application/json",                             # → None (500 analog)
+    "*/*",                                          # → None
+    "application/n-triples;q=0.5,text/turtle;q=0.5",# → nt
+    "",                                             # → None
+]
+LIFECYCLE_FORMATS = ["ttl", "owl", None, None, "nt", None]
+
+
+def q_request_lifecycle() -> str:
+    hdr_cases = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(LIFECYCLE_HEADERS)
+    )
+    fmt_cases = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(LIFECYCLE_FORMATS) if f
+    )
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES}, {LATEST_CTE}
+      SELECT l.conv_id, l.turn_idx,
+             CASE k6 {hdr_cases} END AS accept_header,
+             CASE k6 {fmt_cases} ELSE NULL END AS format,
+             l.ontology_iri,
+             CASE WHEN NOT l.is_linked THEN 'passthrough'
+                  WHEN (CASE k6 {fmt_cases} ELSE NULL END) IS NULL THEN '500'
+                  WHEN t.snapshot_iri IS NULL THEN '404'
+                  ELSE '200' END AS status,
+             CASE WHEN l.is_linked AND t.snapshot_iri IS NOT NULL
+                       AND (CASE k6 {fmt_cases} ELSE NULL END) IS NOT NULL
+                  THEN 'https://archivo.dbpedia.org/download?o=' || l.ontology_iri
+                       || '&f=' || (CASE k6 {fmt_cases} ELSE NULL END)
+                       || '&v=' || strftime(t.version_ts, '%Y.%m.%d-%H%M%S')
+             END AS request_url
+      FROM (
+        SELECT l.*, CAST(TRY_CAST(regexp_extract(tr.text, 'k=([0-9]+)', 1) AS BIGINT) % 6 AS INT) AS k6
+        FROM links l JOIN transcripts tr USING (conv_id, turn_idx)
+      ) l
+      LEFT JOIN latest t USING (ontology_iri)
+    """

@@ -147,6 +147,118 @@ def lsh_topk(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    max_iter: int = 8,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means over unit vectors (the IVF coarse
+    quantizer). Init = the k rows with smallest xxhash64(id) — seedless but
+    deterministic; fixed iteration count (no convergence randomness).
+
+    Per iteration: ONE pass assigning + partial-summing per (cluster, dim) —
+    the driver only ever holds k x dim floats. Same driver-loop skeleton as
+    connected components.
+    """
+    init_rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    C = np.stack([np.array(r.v, dtype=np.float64) for r in init_rows])
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    from pyspark.sql.types import IntegerType
+
+    for _ in range(max_iter):
+        Cb = C  # captured by the UDF closure (broadcast via task serialization)
+
+        @F.pandas_udf(IntegerType())
+        def assign(vs: pd.Series) -> pd.Series:
+            M = np.stack(vs.to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            return pd.Series(np.argmax(M @ Cb.T, axis=1).astype(np.int32))
+
+        sums = (
+            corpus.select(assign(F.col(vec_col)).alias("c"), F.col(vec_col).alias("v"))
+            .select("c", F.posexplode("v").alias("dim", "x"))
+            .groupBy("c", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        newC = C.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_c.setdefault(r.c, {})[r.dim] = r.s / (r.n or 1)
+        for c, dims in by_c.items():
+            vec = np.array([dims[d] for d in sorted(dims)])
+            nrm = np.linalg.norm(vec)
+            if nrm > 0:
+                newC[c] = vec / nrm
+        C = newC
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, queries probe their
+    nprobe nearest centroid cells, exact cosine within the probed cells only.
+
+    The 100 TB shape: corpus is assigned once (a write-time partitioning in
+    production), each query touches nprobe/n_centroids of the corpus.
+    """
+    C = kmeans_fit(corpus, vec_col, id_col, k=n_centroids)
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def assign1(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        order = np.argsort(-(M @ C.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vector_expr(vec_col).alias("cv"),
+        assign1(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_vector_expr(vec_col).alias("qv"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", dot_expr("qv", "cv"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """Fraction of exact top-k pairs recovered by the approximate search."""
     hit = approx.select("query_id", "neighbor_id").intersect(

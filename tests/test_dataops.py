@@ -237,3 +237,14 @@ def test_cosine_expr_matches_numpy(spark):
     got = df.select(cosine_expr("va", "vb").alias("c")).collect()[0].c
     want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert abs(got - want) < 1e-9
+
+
+def test_ivf_topk_recall_and_determinism(spark, embeddings):
+    from kgtm.similarity import ivf_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = brute_topk(embeddings, queries, k=10)
+    approx = ivf_topk(embeddings, queries, k=10, n_centroids=16, nprobe=6)
+    assert recall_at_k(approx, exact) >= 0.5
+    again = ivf_topk(embeddings, queries, k=10, n_centroids=16, nprobe=6)
+    assert approx.exceptAll(again).count() == 0
