@@ -44,11 +44,13 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts → mentions → triples → link → resolve (sf0.001)."""
     tr = _transcripts(spark, "/root/testdata/sf0.001")
+    # one-shot run: the eager persist only pays off when the caller reuses
+    # the triples (CLI/checkpointed runs); a single materialization skips it
     return build_triples(
         tr,
         ontology_index_df(spark),
         ontology_snapshots_df(spark),
-        PipelineConfig(onto_version="latestArchived"),
+        PipelineConfig(onto_version="latestArchived", persist_intermediate=False),
     )
 
 
@@ -100,6 +102,7 @@ def _q_flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         _transcripts(spark, sf_dir),
         ontology_index_df(spark),
         ontology_snapshots_df(spark),
+        PipelineConfig(persist_intermediate=False),
     )
 
 
