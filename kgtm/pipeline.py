@@ -86,6 +86,12 @@ def build_triples(
     surface_dim = resolved.filter(F.col("is_linked")).select(
         "surface", "ontology_iri", "snapshot_iri", "source"
     )
+    # Materialize the dim ONCE: it feeds TWO broadcast joins (subj + obj) and
+    # Spark does not reuse the exchanges (the subtrees differ by aliases), so
+    # without this the whole extract→distinct→link→resolve subtree — scan
+    # included — would execute twice more. The dim is broadcast-sized by
+    # design, so the checkpoint is a tiny job.
+    surface_dim = surface_dim.localCheckpoint(eager=True)
 
     subj_dim = F.broadcast(
         surface_dim.select(
