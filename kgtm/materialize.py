@@ -73,6 +73,28 @@ def write_triples(
     return commit
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (+optionally sorted) table.
+
+    Two tables bucketed the same way join WITHOUT an exchange — the classic
+    co-located join for repeated joins on the same key (e.g. triples ⋈
+    conversation metadata on conv_id at every downstream consumer). Requires
+    a table catalog (local Derby warehouse in the sandbox; any metastore on a
+    cluster). sort_col additionally orders within buckets for merge-join and
+    min/max data skipping.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "triples"))
 

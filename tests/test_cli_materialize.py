@@ -87,3 +87,36 @@ def test_cli_rejects_pin_mode_without_timestamp():
          "--out", "o", "--onto-version", "timestampArchived"]
     )
     assert rc == 2
+
+
+def test_bucketed_join_has_no_exchange(spark, events, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT a shuffle."""
+    import os
+
+    from kgtm.materialize import write_bucketed
+
+    import shutil
+
+    warehouse = Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+    for t in ("t_triples", "t_convs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(warehouse / t, ignore_errors=True)
+    tr = events_to_transcripts(events)
+    triples = build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
+    conv_meta = tr.groupBy("conv_id").count()
+
+    write_bucketed(triples, "t_triples", "conv_id", n_buckets=8, sort_col="conv_id")
+    write_bucketed(conv_meta, "t_convs", "conv_id", n_buckets=8, sort_col="conv_id")
+
+    a = spark.table("t_triples")
+    b = spark.table("t_convs")
+    # force the merge path (the tiny side would auto-broadcast, which also
+    # avoids a shuffle but would not demonstrate bucket co-location)
+    joined = a.hint("merge").join(b, "conv_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:1200]
+    assert "SortMergeJoin" in plan
+    assert joined.count() == triples.count()
+    for t in ("t_triples", "t_convs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(warehouse / t, ignore_errors=True)
