@@ -333,6 +333,26 @@ def _q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_percentiles_approx(_events(spark, sf_dir))
 
 
+def _q_asof_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous per-row as-of pins (mixed-policy runs, SURVEY §1.2)."""
+    from kgtm.resolve import resolve_links_per_row_pin
+
+    tr = _transcripts(spark, sf_dir)
+    m = extract_mentions(tr)
+    linked = link_mentions(m, ontology_index_df(spark))
+    k = F.regexp_extract("text", r"k=([0-9]+)", 1).try_cast("long") % 400
+    with_pin = linked.join(
+        tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
+    ).withColumn(
+        "pin_ts",
+        F.to_timestamp(F.lit("2024-01-01")) + F.make_dt_interval(k.cast("int")),
+    ).drop("text")
+    out = resolve_links_per_row_pin(with_pin, ontology_snapshots_df(spark))
+    return out.select(
+        "conv_id", "turn_idx", "surface", "pin_ts", "version_ts", "snapshot_iri", "source"
+    )
+
+
 def _q_request_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full §3.1 lifecycle in one plan: per-turn Accept header →
     negotiation → ladder link → latest-version resolution → Archivo API URL
@@ -415,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_metrics": _q_rollup_metrics,
         "dedup_clusters": _q_dedup_clusters,
         "request_lifecycle": _q_request_lifecycle,
+        "asof_per_row": _q_asof_per_row,
         "value_percentiles": _q_value_percentiles,
         "value_percentiles_approx": _q_value_percentiles_approx,
         # training-data ops
@@ -456,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_metrics": oracles.q_rollup_metrics(),
         "dedup_clusters": oracles.q_dedup_clusters(0.5),
         "request_lifecycle": oracles.q_request_lifecycle(),
+        "asof_per_row": oracles.q_asof_per_row(),
         "value_percentiles": oracles.q_value_percentiles(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),

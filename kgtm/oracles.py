@@ -609,3 +609,27 @@ def q_request_lifecycle() -> str:
       ) l
       LEFT JOIN latest t USING (ontology_iri)
     """
+
+
+def q_asof_per_row() -> str:
+    """Per-row as-of pins: pin = 2024-01-01 + (k mod 400) days per mention."""
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES},
+      snaps AS (SELECT * FROM {duckdb_snapshots_values()}),
+      pinned AS (
+        SELECT l.*, TIMESTAMP '2024-01-01'
+               + (TRY_CAST(regexp_extract(tr.text, 'k=([0-9]+)', 1) AS BIGINT) % 400)
+                 * INTERVAL 1 DAY AS pin_ts
+        FROM links l JOIN transcripts tr USING (conv_id, turn_idx)
+      )
+      SELECT p.conv_id, p.turn_idx, p.surface, p.pin_ts,
+             max(s.version_ts) AS version_ts,
+             arg_max(s.snapshot_iri, s.version_ts) AS snapshot_iri,
+             CASE WHEN NOT p.is_linked THEN 'unlinked'
+                  WHEN max(s.version_ts) IS NULL THEN 'not-found'
+                  ELSE 'archivo-timestamp' END AS source
+      FROM pinned p
+      LEFT JOIN snaps s
+        ON p.ontology_iri = s.ontology_iri AND s.version_ts <= p.pin_ts
+      GROUP BY p.conv_id, p.turn_idx, p.surface, p.pin_ts, p.is_linked
+    """

@@ -135,6 +135,56 @@ def dependency_closure(
     return closure
 
 
+def resolve_links_per_row_pin(
+    linked: DataFrame,
+    snapshots: DataFrame,
+    pin_col: str = "pin_ts",
+) -> DataFrame:
+    """Heterogeneous as-of resolution: every row carries its OWN pin.
+
+    The mixed-policy case from SURVEY §1.2 (per-request config overlay can
+    set a different timestamp per request). A job-level pin pre-reduces the
+    dim (asof_snapshots); with per-row pins the reduction key includes the
+    pin, so instead: broadcast-join the linked rows to ALL versions of their
+    ontology with version_ts <= pin, keep max version per row. Fan-out is
+    bounded by versions-per-ontology (≤10 here; Archivo is similar) and the
+    snapshot side stays broadcast — the fact side still never shuffles
+    except the final max_by aggregation keyed by the row id.
+    """
+    snaps = F.broadcast(
+        snapshots.select(
+            "ontology_iri",
+            F.col("version_ts").alias("s_version_ts"),
+            F.col("snapshot_iri").alias("s_snapshot_iri"),
+            F.col("file_url").alias("s_file_url"),
+        )
+    )
+    joined = linked.join(
+        snaps,
+        (linked["ontology_iri"] == snaps["ontology_iri"])
+        & (F.col("s_version_ts") <= F.col(pin_col)),
+        "left",
+    ).drop(snaps["ontology_iri"])
+    best = joined.groupBy("mention_id").agg(
+        *[F.first(c).alias(c) for c in linked.columns if c != "mention_id"],
+        F.max_by(
+            F.struct("s_snapshot_iri", "s_version_ts", "s_file_url"),
+            F.col("s_version_ts"),
+        ).alias("best"),
+    )
+    return best.select(
+        *[c for c in linked.columns],
+        F.col("best.s_snapshot_iri").alias("snapshot_iri"),
+        F.col("best.s_version_ts").alias("version_ts"),
+        F.col("best.s_file_url").alias("file_url"),
+    ).withColumn(
+        "source",
+        F.when(~F.col("is_linked"), F.lit("unlinked"))
+        .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))
+        .otherwise(F.lit("archivo-timestamp")),
+    )
+
+
 def resolve_links(
     linked: DataFrame,
     snapshots: DataFrame,
