@@ -478,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracles.q_dedup_clusters(0.5),
         "request_lifecycle": oracles.q_request_lifecycle(),
         "asof_per_row": oracles.q_asof_per_row(),
+        "canonical_entities": oracles.q_canonical_entities(),
         "value_percentiles": oracles.q_value_percentiles(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),

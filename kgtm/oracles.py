@@ -633,3 +633,30 @@ def q_asof_per_row() -> str:
         ON p.ontology_iri = s.ontology_iri AND s.version_ts <= p.pin_ts
       GROUP BY p.conv_id, p.turn_idx, p.surface, p.pin_ts, p.is_linked
     """
+
+
+def q_canonical_entities() -> str:
+    """Connected-components twin over the surface↔ontology link graph:
+    recursive reachability, component label = min reachable node (string
+    order, matching kgtm.canonicalize's string node labels)."""
+    return f"""
+      WITH RECURSIVE {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES},
+      edges AS (
+        SELECT DISTINCT surface AS a, ontology_iri AS b FROM links WHERE is_linked
+        UNION
+        SELECT DISTINCT ontology_iri, surface FROM links WHERE is_linked
+      ),
+      nodes AS (
+        SELECT DISTINCT surface AS n FROM links
+        UNION SELECT DISTINCT ontology_iri FROM links WHERE is_linked
+      ),
+      reach AS (
+        SELECT n AS src, n AS dst FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      ),
+      comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src)
+      SELECT l.surface, comp.component AS canonical_id
+      FROM (SELECT DISTINCT surface FROM links) l
+      JOIN comp ON comp.src = l.surface
+    """
