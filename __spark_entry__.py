@@ -401,6 +401,54 @@ def _q_request_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.extract import extract_triples
+    from kgtm.graph import entity_degrees
+    from kgtm.link import link_surfaces
+    from kgtm.normalize import parse_iri_cols
+
+    tr = _transcripts(spark, sf_dir)
+    triples = extract_triples(tr)
+    surfaces = (
+        triples.select(F.explode(F.array("subj", "obj")).alias("surface"))
+        .filter(F.col("surface").startswith("http"))
+        .distinct()
+        .select("surface", *parse_iri_cols("surface"))
+    )
+    dim = link_surfaces(surfaces, ontology_index_df(spark)).filter("is_linked").select(
+        "surface", "ontology_iri"
+    )
+    canon = (
+        triples.join(dim, triples["obj"] == dim["surface"], "left")
+        .select(
+            "conv_id", "subj", "pred",
+            F.coalesce("ontology_iri", "obj").alias("obj"),
+        )
+    )
+    return entity_degrees(canon)
+
+
+def _q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.graph import mention_contexts
+
+    tr = _transcripts(spark, sf_dir)
+    linked = link_mentions(extract_mentions(tr), ontology_index_df(spark))
+    return mention_contexts(tr, linked)
+
+
+def _q_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgtm.graph import index_diff
+
+    old = ontology_index_df(spark)
+    new = old.filter(~F.col("ontology_iri").endswith("/click")).unionByName(
+        spark.createDataFrame(
+            [("http://onto.example.org/newone", "onto.example.org", "/newone", "term")],
+            old.schema,
+        )
+    )
+    return index_diff(old, new)
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.sessions import sessionize
 
@@ -436,6 +484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "request_lifecycle": _q_request_lifecycle,
         "asof_per_row": _q_asof_per_row,
+        "entity_degrees": _q_entity_degrees,
+        "mention_contexts": _q_mention_contexts,
+        "index_diff": _q_index_diff,
         "value_percentiles": _q_value_percentiles,
         "value_percentiles_approx": _q_value_percentiles_approx,
         # training-data ops
@@ -479,6 +530,13 @@ def oracle_sql() -> dict[str, str]:
         "request_lifecycle": oracles.q_request_lifecycle(),
         "asof_per_row": oracles.q_asof_per_row(),
         "canonical_entities": oracles.q_canonical_entities(),
+        "entity_degrees": oracles.q_entity_degrees(),
+        "mention_contexts": oracles.q_mention_contexts(),
+        "index_diff": """
+          SELECT 'removed' AS change, 'http://onto.example.org/click' AS ontology_iri
+          UNION ALL
+          SELECT 'added', 'http://onto.example.org/newone'
+        """,
         "value_percentiles": oracles.q_value_percentiles(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),

@@ -660,3 +660,51 @@ def q_canonical_entities() -> str:
       FROM (SELECT DISTINCT surface FROM links) l
       JOIN comp ON comp.src = l.surface
     """
+
+
+# ===========================================================================
+# Graph materializations
+# ===========================================================================
+
+
+def q_entity_degrees() -> str:
+    # twin of graph.entity_degrees over the flagship triple derivation
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES},
+      triples AS (
+        SELECT l.conv_id, 'agent' AS subj, 'uses' AS pred,
+               coalesce(l.ontology_iri, l.surface) AS obj
+        FROM links l
+      ),
+      outd AS (
+        SELECT subj AS entity, count(*) AS out_degree, 0::BIGINT AS in_degree,
+               count(DISTINCT pred) AS n_preds_out, count(DISTINCT conv_id) AS n_convs
+        FROM triples GROUP BY subj),
+      ind AS (
+        SELECT obj AS entity, 0::BIGINT, count(*), 0::BIGINT,
+               count(DISTINCT conv_id)
+        FROM triples GROUP BY obj)
+      SELECT entity, sum(out_degree)::BIGINT AS out_degree,
+             sum(in_degree)::BIGINT AS in_degree,
+             max(n_preds_out)::BIGINT AS n_preds_out,
+             max(n_convs)::BIGINT AS n_convs
+      FROM (SELECT * FROM outd UNION ALL SELECT * FROM ind)
+      GROUP BY entity
+    """
+
+
+def q_mention_contexts() -> str:
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES},
+      ctx AS (
+        SELECT conv_id, turn_idx,
+               lag(text, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text,
+               text AS turn_text,
+               lead(text, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_text
+        FROM transcripts
+      )
+      SELECT l.conv_id, l.turn_idx, l.surface, l.ontology_iri,
+             c.prev_text, c.turn_text, c.next_text
+      FROM links l JOIN ctx c USING (conv_id, turn_idx)
+      WHERE l.is_linked
+    """

@@ -83,3 +83,16 @@ def test_dependency_closure(spark):
     assert got[("snap:x", "snap:y")] == 1
     assert got[("snap:x", "snap:x")] == 0
     assert len([k for k in got if k[0] == "snap:x"]) == 2
+
+
+def test_adjacency_lists_caps_super_nodes(spark):
+    from kgtm.graph import adjacency_lists
+
+    rows = [("c", f"hub", "uses", f"obj{i}") for i in range(20)] + [
+        ("c", "small", "uses", "x")
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, subj string, pred string, obj string")
+    out = {r.subj: r for r in adjacency_lists(t, max_neighbors=5).collect()}
+    assert out["hub"].degree == 20 and out["hub"].truncated
+    assert len(out["hub"].neighbors) == 5
+    assert out["small"].degree == 1 and not out["small"].truncated
