@@ -66,10 +66,24 @@ def link_mentions(mentions: DataFrame, index: DataFrame) -> DataFrame:
     # so no join-back to the mention table is needed — the whole stage is a
     # broadcast probe plus a single mention_id shuffle (min_by ignores rows
     # whose ordering expression is null, i.e. the non-hit candidate rows).
+    # Path-less requests match on host ALONE (proxy_logic.py:100-101): their
+    # single empty-path candidate joins the broadcast host set (no specific
+    # ontology / canonical path — the reference only answers the membership
+    # boolean there).
+    host_only = (
+        index.select(F.col("host").alias("d_host"))
+        .distinct()
+        .withColumn("d_path", F.lit(None).cast("string"))
+        .withColumn("ontology_iri", F.lit(None).cast("string"))
+    )
+    dict_with_hostonly = F.broadcast(dict_side.unionByName(host_only))
+    # eqNullSafe: a NULL candidate (path-less request) matches exactly the
+    # NULL-path host-only rows; ladder-produced "" candidates match nothing
+    # (dictionary paths always start with '/').
     probed = cands.join(
-        dict_side,
-        (cands["host"] == dict_side["d_host"])
-        & (cands["cand_path"] == dict_side["d_path"]),
+        dict_with_hostonly,
+        (cands["host"] == dict_with_hostonly["d_host"])
+        & cands["cand_path"].eqNullSafe(dict_with_hostonly["d_path"]),
         "left",
     )
     hit_rung = F.when(F.col("d_host").isNotNull(), F.col("rung"))
@@ -116,6 +130,8 @@ def ladder_link_expr(index_rows: list[tuple[str, str, str]], host_col: str = "ho
     for h, p, iri in index_rows:
         kv += [F.lit(f"{h}|{p}"), F.lit(iri)]
     m = F.create_map(*kv)
+    hosts = sorted({h for h, _, _ in index_rows})
+    host_set = F.array(*[F.lit(h) for h in hosts])
     cands = candidate_paths_col(path_col)
     probed = F.transform(
         cands,
@@ -128,11 +144,17 @@ def ladder_link_expr(index_rows: list[tuple[str, str, str]], host_col: str = "ho
         ),
     )
     first = F.get(F.filter(probed, lambda x: x["ontology_iri"].isNotNull()), 0)
+    p = F.col(path_col)
+    pathless_hit = (p.isNull() | (p == "")) & F.array_contains(
+        host_set, F.col(host_col)
+    )
     return F.struct(
-        first.isNotNull().alias("is_linked"),
+        (first.isNotNull() | pathless_hit).alias("is_linked"),
         first["ontology_iri"].alias("ontology_iri"),
         first["cand_path"].alias("canonical_path"),
-        first["rung"].alias("rung"),
+        F.when(first.isNotNull(), first["rung"])
+        .when(pathless_hit, F.lit(0))
+        .alias("rung"),
     )
 
 
@@ -153,17 +175,22 @@ def link_surfaces(surfaces: DataFrame, index: DataFrame) -> DataFrame:
         F.col("cand.rung").alias("rung"),
         F.col("cand.cand_path").alias("cand_path"),
     )
-    dict_side = F.broadcast(
-        index.select(
-            F.col("host").alias("d_host"),
-            F.col("path").alias("d_path"),
-            "ontology_iri",
-        )
+    dict_side = index.select(
+        F.col("host").alias("d_host"),
+        F.col("path").alias("d_path"),
+        "ontology_iri",
     )
+    host_only = (
+        index.select(F.col("host").alias("d_host"))
+        .distinct()
+        .withColumn("d_path", F.lit(None).cast("string"))
+        .withColumn("ontology_iri", F.lit(None).cast("string"))
+    )
+    dict_full = F.broadcast(dict_side.unionByName(host_only))
     hits = cands.join(
-        dict_side,
-        (cands["host"] == dict_side["d_host"])
-        & (cands["cand_path"] == dict_side["d_path"]),
+        dict_full,
+        (cands["host"] == dict_full["d_host"])
+        & cands["cand_path"].eqNullSafe(dict_full["d_path"]),
         "inner",
     )
     best = hits.groupBy("surface").agg(

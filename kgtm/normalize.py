@@ -55,12 +55,14 @@ def split_iri(iri: str) -> tuple[str, str, str, str]:
     return scheme, host, (slash + path if slash else ""), frag
 
 
-def ladder_candidates(path: str) -> list[tuple[int, str]]:
+def ladder_candidates(path: str) -> list[tuple[int, str | None]]:
     """All (rung, candidate_path) pairs for a request path, in rung order."""
     if not path:
-        # Path-less request: host-only membership (proxy_logic.py:100-101);
-        # represent as the empty-path candidate at rung 0.
-        return [(0, "")]
+        # Path-less request: host-only membership (proxy_logic.py:100-101).
+        # The candidate is None — distinct from a ladder rung that *produces*
+        # an empty string (e.g. the grandparent of a 1-segment path), which
+        # must NOT trigger host-only matching.
+        return [(0, None)]
     cands = [(0, path)]
     stripped = path.rstrip("/") if path.endswith("/") else path
     cands.append((1, stripped))
@@ -119,9 +121,11 @@ def candidate_paths_col(path: str | Column = "path") -> Column:
         rung(4, gparent),
         rung(5, F.concat(gparent, F.lit("/"))),
     )
-    # Path-less request → single host-only candidate (empty path).
+    # Path-less request → single host-only candidate (NULL path, see the
+    # pure spec above for why NULL and not "").
     return F.when(
-        p.isNull() | (p == ""), F.array(rung(0, F.lit("")))
+        p.isNull() | (p == ""),
+        F.array(rung(0, F.lit(None).cast("string"))),
     ).otherwise(full)
 
 

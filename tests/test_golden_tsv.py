@@ -73,3 +73,44 @@ def test_spark_path_matches_golden(spark):
         if r.is_linked:
             assert r.canonical_path == c["expected_canonical_path"], c["comment"]
             assert r.rung == int(c["expected_rung"]), c["comment"]
+
+
+def test_pathless_host_only_match(spark):
+    """proxy_logic.py:100-101: a path-less request matches on host alone
+    (membership true, no canonical write-back, no specific ontology)."""
+    from kgtm.link import ladder_link_expr, link_mentions
+    from kgtm.normalize import parse_iri_cols, resolve_membership
+
+    assert resolve_membership("dict.org", "", DICT_SET) == (True, None, 0)
+    assert resolve_membership("nodict.org", "", DICT_SET)[0] is False
+
+    index = spark.createDataFrame(DICT_ROWS, ONTOLOGY_INDEX_SCHEMA)
+    mentions = spark.createDataFrame(
+        [("http://dict.org",), ("https://dict.org",), ("http://nodict.org",),
+         ("http://dict.org/zzz",)],  # 1-segment miss: gparent="" must NOT host-match
+        "surface string",
+    ).select(
+        F.lit("c").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.xxhash64("surface").alias("mention_id"),
+        "surface",
+        *parse_iri_cols("surface"),
+    )
+    got = {r.surface: r for r in link_mentions(mentions, index).collect()}
+    assert got["http://dict.org"].is_linked and got["http://dict.org"].rung == 0
+    assert got["http://dict.org"].ontology_iri is None
+    assert got["https://dict.org"].is_linked
+    assert not got["http://nodict.org"].is_linked
+    assert not got["http://dict.org/zzz"].is_linked  # "" rung never host-matches
+
+    # map-literal formulation agrees
+    expr = ladder_link_expr([(h, p, i) for i, h, p, _ in DICT_ROWS])
+    got2 = {
+        r.surface: r
+        for r in mentions.select("surface", expr.alias("lk")).select(
+            "surface", "lk.is_linked", "lk.rung", "lk.ontology_iri"
+        ).collect()
+    }
+    assert got2["http://dict.org"].is_linked and got2["http://dict.org"].rung == 0
+    assert not got2["http://nodict.org"].is_linked
+    assert not got2["http://dict.org/zzz"].is_linked

@@ -49,7 +49,8 @@ def test_ladder_candidates_trailing_slash_rebinds_later_rungs():
 
 
 def test_ladder_candidates_pathless():
-    assert ladder_candidates("") == [(0, "")]
+    # NULL candidate, distinct from a ladder-produced "" (see docstring)
+    assert ladder_candidates("") == [(0, None)]
 
 
 @pytest.mark.parametrize(

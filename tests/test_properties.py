@@ -44,6 +44,10 @@ def test_ladder_rungs_ordered_and_bounded(p):
     rungs = [r for r, _ in cands]
     assert rungs == sorted(rungs)
     assert len(cands) <= 6
+    if p == "":
+        # path-less: single host-only candidate, marked None
+        assert cands == [(0, None)]
+        return
     # rung 0 is always the original path
     assert cands[0] == (0, p)
     # every candidate is a prefix-ish reduction: no candidate is longer than
