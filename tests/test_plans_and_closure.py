@@ -96,3 +96,21 @@ def test_adjacency_lists_caps_super_nodes(spark):
     assert out["hub"].degree == 20 and out["hub"].truncated
     assert len(out["hub"].neighbors) == 5
     assert out["small"].degree == 1 and not out["small"].truncated
+
+
+def test_sql_api_flagship_matches_dataframe(spark, events):
+    """The pure-SQL flagship statement equals the DataFrame pipeline."""
+    from kgtm.sql_api import flagship_sql
+
+    tr = events_to_transcripts(events)
+    df_out = build_triples(
+        tr,
+        ontology_index_df(spark),
+        ontology_snapshots_df(spark),
+        PipelineConfig(persist_intermediate=False),
+    )
+    sql_out = flagship_sql(
+        spark, tr, ontology_index_df(spark), ontology_snapshots_df(spark)
+    ).select(*df_out.columns)
+    assert sql_out.exceptAll(df_out).count() == 0
+    assert df_out.exceptAll(sql_out).count() == 0
