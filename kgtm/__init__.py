@@ -14,3 +14,29 @@ Reference parity pointers live in each module's docstrings (file:line into
 """
 
 __version__ = "0.1.0"
+
+# Primary entry points (import kgtm; kgtm.build_triples(...)). Submodules are
+# imported lazily to keep `import kgtm` free of a SparkSession requirement.
+__all__ = [
+    "build_triples",
+    "PipelineConfig",
+    "get_spark",
+    "generate",
+    "SynthConfig",
+]
+
+
+def __getattr__(name):  # PEP 562 lazy re-exports
+    if name in ("build_triples", "PipelineConfig"):
+        from kgtm import pipeline
+
+        return getattr(pipeline, name)
+    if name == "get_spark":
+        from kgtm.session import get_spark
+
+        return get_spark
+    if name in ("generate", "SynthConfig"):
+        from kgtm import synth
+
+        return getattr(synth, name)
+    raise AttributeError(name)
