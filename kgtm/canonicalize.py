@@ -75,6 +75,85 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> tuple[DataFrame, int]:
+    """Two-phase large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond").
+
+    Converges in O(log n) rounds regardless of graph DIAMETER — the scale
+    option when components can be long chains (plain min-label propagation
+    needs O(diameter) rounds). Returns ((node, component), n_rounds).
+
+    large-star: per node u, attach every LARGER neighbor to
+        m = min(Γ(u) ∪ {u});
+    small-star: per node u, attach every neighbor ≤ u (and u) to m.
+    Fixpoint: the edge set is a star forest rooted at component minima.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    cur = e.distinct().localCheckpoint(eager=True)
+    # keep every node visible even if its edges become self-loops later
+    all_nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def neighborhood_min(und: DataFrame) -> DataFrame:
+        return und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star ----
+        und = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = neighborhood_min(und)
+        large = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # ---- small-star ----
+        und2 = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins2 = und2.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        small = (
+            und2.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(cur).limit(1).count() + cur.exceptAll(small).limit(1).count()
+        )
+        cur = small
+        if changed == 0:
+            break
+
+    # star forest → labels; isolated-after-contraction nodes label themselves
+    labels = cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    return (
+        all_nodes.join(labels, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        ),
+        rounds,
+    )
+
+
 def canonical_entities(linked: DataFrame) -> DataFrame:
     """Collapse surface forms via shared ontology links.
 

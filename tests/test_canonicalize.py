@@ -47,3 +47,29 @@ def test_canonical_entities_collapses_variants(spark, events):
     # unlinked surfaces stay themselves
     unk = ents.filter(F.col("surface").contains("unknown.example.net")).collect()
     assert all(r.canonical_id == r.surface for r in unk)
+
+
+def test_star_cc_matches_plain_and_converges_fast(spark):
+    """Large-star/small-star: O(log n) rounds on a chain (the plain
+    propagation worst case) and identical partitions on arbitrary graphs."""
+    import random
+
+    from kgtm.canonicalize import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(63)], "src string, dst string"
+    )
+    labels, rounds = connected_components_star(chain)
+    got = {r.node: r.component for r in labels.collect()}
+    assert set(got.values()) == {"n000"} and len(got) == 64
+    assert rounds <= 10  # log-ish, vs 63 propagation rounds
+
+    rng = random.Random(11)
+    edges = [
+        (f"v{rng.randrange(30):02d}", f"v{rng.randrange(30):02d}") for _ in range(25)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    plain = {r.node: r.component for r in connected_components(df, max_iter=50).collect()}
+    star_df, _ = connected_components_star(df)
+    star = {r.node: r.component for r in star_df.collect()}
+    assert plain == star
