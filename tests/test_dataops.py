@@ -248,3 +248,34 @@ def test_ivf_topk_recall_and_determinism(spark, embeddings):
     assert recall_at_k(approx, exact) >= 0.5
     again = ivf_topk(embeddings, queries, k=10, n_centroids=16, nprobe=6)
     assert approx.exceptAll(again).count() == 0
+
+
+def test_fuzzy_linking(spark):
+    from kgtm.fuzzy_link import link_fuzzy
+
+    labels = spark.createDataFrame(
+        [
+            ("click tracking ontology", "http://o/click"),
+            ("error log ontology", "http://o/error"),
+            ("purchase records vocabulary", "http://o/purchase"),
+        ],
+        "label string, ontology_iri string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("the click tracking ontolgy",),   # typo'd near-match
+            ("error log ontology",),           # exact
+            ("zebra quantum unrelated",),      # no match
+        ],
+        "surface string",
+    )
+    out = {r.surface: r for r in link_fuzzy(mentions, labels, threshold=0.3).collect()}
+    assert out["error log ontology"].matched_entity == "http://o/error"
+    assert out["error log ontology"].score == 1.0
+    assert out["the click tracking ontolgy"].matched_entity == "http://o/click"
+    assert 0.3 <= out["the click tracking ontolgy"].score < 1.0
+    assert not out["zebra quantum unrelated"].is_linked
+
+    # deterministic across runs
+    again = {r.surface: r.matched_entity for r in link_fuzzy(mentions, labels, threshold=0.3).collect()}
+    assert again == {s: r.matched_entity for s, r in out.items()}
