@@ -314,6 +314,36 @@ def _q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return found.groupBy("surface").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def _q_fuzzy_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-IRI fuzzy linking: role-label surfaces (+ deterministic typo
+    variants and one junk string) → MinHash-LSH blocking → exact-Jaccard
+    verify → top-1 pick against the ontology dictionary labels."""
+    from kgtm.fuzzy_link import link_fuzzy
+
+    tr = _transcripts(spark, sf_dir)
+    surfaces = (
+        tr.select(F.col("role").alias("surface"))
+        .unionByName(
+            tr.select(
+                F.concat("role", F.substring("role", -1, 1)).alias("surface")
+            )
+        )
+        .distinct()
+        .unionByName(spark.createDataFrame([("zzz qqq",)], "surface string"))
+    )
+    labels = ontology_index_df(spark).select(
+        F.regexp_replace("path", "^/", "").alias("label"), "ontology_iri"
+    )
+    out = link_fuzzy(surfaces, labels, mention_col="surface", threshold=0.3)
+    return out.select(
+        "surface",
+        "matched_label",
+        F.col("matched_entity").alias("entity"),
+        F.round("score", 6).alias("score"),
+        "is_linked",
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.dedup import dedup_clusters, ngram_jaccard_pairs
 
@@ -401,6 +431,60 @@ def _q_request_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_failover_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 faithful failover: per-mention live leg (status, Content-Type,
+    Accept) modeled deterministically from the planted k; the gate is
+    status ∈ passthrough whitelist ∧ content-type ∈ requested mimetypes
+    (proxy_logic.py:209-238), else latest-archived."""
+    tr = _transcripts(spark, sf_dir)
+    m = extract_mentions(tr)
+    linked = link_mentions(m, ontology_index_df(spark))
+    k = F.regexp_extract("text", r"k=([0-9]+)", 1).try_cast("long")
+    with_live = (
+        linked.join(tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        .withColumn(
+            "accept_header",
+            F.element_at(
+                F.array(*[F.lit(h) for h in oracles.LIFECYCLE_HEADERS]),
+                (k % 6).cast("int") + 1,
+            ),
+        )
+        .withColumn(
+            "live_status",
+            F.element_at(
+                F.array(*[F.lit(s) for s in oracles.FAILOVER_STATUSES]),
+                (k % 7).cast("int") + 1,
+            ).cast("int"),
+        )
+        .withColumn(
+            "live_content_type",
+            F.element_at(
+                F.array(
+                    *[
+                        F.lit(c).cast("string")
+                        for c in oracles.FAILOVER_CONTENT_TYPES
+                    ]
+                ),
+                (k % 5).cast("int") + 1,
+            ),
+        )
+        .drop("text")
+    )
+    out = resolve_links(
+        with_live, ontology_snapshots_df(spark), "originalFailoverLiveLatest"
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "surface",
+        "accept_header",
+        "live_status",
+        "live_content_type",
+        "source",
+        "snapshot_iri",
+    )
+
+
 def _q_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.extract import extract_triples
     from kgtm.graph import entity_degrees
@@ -479,10 +563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fully_linked_convs": _q_fully_linked_convs,
         "dependency_closure": _q_dependency_closure,
         "gazetteer_mentions": _q_gazetteer_mentions,
+        "fuzzy_linking": _q_fuzzy_linking,
         "session_windows": _q_session_windows,
         "rollup_metrics": _q_rollup_metrics,
         "dedup_clusters": _q_dedup_clusters,
         "request_lifecycle": _q_request_lifecycle,
+        "failover_resolution": _q_failover_resolution,
         "asof_per_row": _q_asof_per_row,
         "entity_degrees": _q_entity_degrees,
         "mention_contexts": _q_mention_contexts,
@@ -524,10 +610,13 @@ def oracle_sql() -> dict[str, str]:
         "accessibility_matrix": oracles.q_accessibility_matrix(),
         "fully_linked_convs": oracles.q_fully_linked_convs(),
         "dependency_closure": oracles.q_dependency_closure(),
+        "gazetteer_mentions": oracles.q_gazetteer_mentions(),
+        "fuzzy_linking": oracles.q_fuzzy_linking(),
         "session_windows": oracles.q_session_windows(30),
         "rollup_metrics": oracles.q_rollup_metrics(),
         "dedup_clusters": oracles.q_dedup_clusters(0.5),
         "request_lifecycle": oracles.q_request_lifecycle(),
+        "failover_resolution": oracles.q_failover_resolution(),
         "asof_per_row": oracles.q_asof_per_row(),
         "canonical_entities": oracles.q_canonical_entities(),
         "entity_degrees": oracles.q_entity_degrees(),

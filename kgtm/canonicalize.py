@@ -49,6 +49,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iter):
         # Candidate labels flowing across edges: neighbor's current component.
         prop = (
@@ -71,7 +72,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Min-label propagation needs O(diameter) rounds; a silent unconverged
+        # return would split long-chain components. Callers with chain-shaped
+        # graphs should use connected_components_star (O(log n) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_star"
+        )
     return labels
 
 
@@ -169,7 +180,10 @@ def canonical_entities(linked: DataFrame) -> DataFrame:
         .select(F.col("surface").alias("src"), F.col("ontology_iri").alias("dst"))
         .distinct()
     )
-    comps = connected_components(edges)
+    # O(log n)-round star variant: entity-resolution graphs are usually
+    # shallow, but surface↔ontology chains through shared mentions can get
+    # long — star converges regardless of diameter at the same per-round cost.
+    comps, _ = connected_components_star(edges)
     return (
         linked.select("surface")
         .distinct()

@@ -99,16 +99,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """All (id_a, id_b, jaccard) pairs with J >= threshold, id_a < id_b.
 
     Exact: |A∩B| from the shared-shingle join, |A∪B| = |A|+|B|-|∩|.
     ``max_shingle_df`` drops shingles appearing in more than that many docs
-    before pairing (skew guard; exactness then holds for pairs that share at
-    least one sub-threshold-frequency shingle — at web scale a stop-phrase
+    before pairing — the skew guard is ON BY DEFAULT (1000): a stop-phrase
     that 10^8 docs share carries no dedup signal and would quadratically
-    explode the join).
+    explode the self-join (1000 caps any single shingle's pair fan-out at
+    ~5·10^5 rows). Exactness holds for every pair that shares at least one
+    sub-cap shingle; pass None to disable (exact for ALL pairs — only safe on
+    corpora where no shingle is near-universal). ``log_dropped=True`` counts
+    and prints the dropped hot shingles (one extra small job).
     """
     sh = with_shingles(df, text_col, id_col, n)
     # explode FIRST (grams evaluated once inside Generate); join on a 64-bit
@@ -135,6 +139,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_") > max_shingle_df)
             .select("shingle")
         )
+        if log_dropped:
+            n_hot = hot.count()
+            print(
+                f"[ngram_jaccard_pairs] skew guard: dropped {n_hot} shingles "
+                f"with document frequency > {max_shingle_df}"
+            )
         pair_side = flat.join(F.broadcast(hot), "shingle", "left_anti")
 
     a = pair_side.select(F.col("id").alias("id_a"), "shingle")
@@ -269,14 +279,18 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id")
     closure — A~B, B~C ⇒ one cluster even if A,C never compared), survivor =
     min id per cluster. Returns (id, cluster_id, is_survivor) covering EVERY
     id in ``all_ids`` (singletons are their own cluster).
+
+    Uses the large-star/small-star O(log n)-round variant: near-dup clusters
+    are often CHAINS (A~B~C~…~Z under a sliding edit), where plain min-label
+    propagation needs O(diameter) rounds.
     """
-    from kgtm.canonicalize import connected_components
+    from kgtm.canonicalize import connected_components_star
 
     edges = pairs.select(
         F.col("id_a").cast("string").alias("src"),
         F.col("id_b").cast("string").alias("dst"),
     )
-    comps = connected_components(edges)
+    comps, _ = connected_components_star(edges)
     ids = all_ids.select(F.col(id_col).cast("string").alias("id_str"), F.col(id_col).alias("id"))
     out = ids.join(comps, ids["id_str"] == comps["node"], "left").select(
         "id",
@@ -406,12 +420,20 @@ def embedding_neardup_blocked(
 
     def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
 
         def unit(rows: pd.Series) -> np.ndarray:
             M = np.stack(rows.to_numpy()).astype(np.float64)
             return M / np.linalg.norm(M, axis=1, keepdims=True)
 
         a = pdf[pdf["blk"] == bi]
+        # A task can hold rows from only one of its two blocks (N < n_blocks
+        # or hash skew) — np.stack on an empty selection raises, so bail out.
+        if len(a) == 0:
+            return empty
         ids_a = a["id"].to_numpy()
         A = unit(a["u"])
         if bi == bj:
@@ -421,6 +443,8 @@ def embedding_neardup_blocked(
             id_a, id_b, cos = ids_a[ia][keep], ids_a[ib][keep], M[ia, ib][keep]
         else:
             b = pdf[pdf["blk"] == bj]
+            if len(b) == 0:
+                return empty
             ids_b = b["id"].to_numpy()
             B = unit(b["u"])
             M = A @ B.T

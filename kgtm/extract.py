@@ -60,12 +60,30 @@ def iri_mentions_col(text: str | Column = "text") -> Column:
     return F.regexp_extract_all(t, F.lit(f"({IRI_REGEX})"), 1)
 
 
+def mention_id_col() -> Column:
+    """128-bit deterministic mention id over the natural provenance key
+    (conv_id, turn_idx, pos, surface) — collision-safe at 10^12 mentions.
+    \\x1f separators make the concat injective for these columns."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col("conv_id"),
+            F.col("turn_idx").cast("string"),
+            F.col("pos").cast("string"),
+            F.col("surface"),
+        )
+    )
+
+
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """One row per detected IRI mention with parsed (scheme, host, path, frag).
 
     mention_id is deterministic (no monotonically_increasing_id — that value
-    changes with partitioning and would break resume/idempotence): a hash of
-    the provenance key (conv_id, turn_idx, position, surface).
+    changes with partitioning and would break resume/idempotence): a 128-bit
+    hash of the provenance key (conv_id, turn_idx, position, surface). 128
+    bits, not xxhash64: at the advertised 10^12-mention scale a 64-bit id has
+    ~10^4 expected birthday collisions, which would silently merge distinct
+    mentions in downstream groupBy(mention_id).
     """
     exploded = transcripts.select(
         "conv_id",
@@ -75,7 +93,7 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     return exploded.select(
         "conv_id",
         "turn_idx",
-        F.xxhash64("conv_id", "turn_idx", "pos", "surface").alias("mention_id"),
+        mention_id_col().alias("mention_id"),
         "surface",
         *parse_iri_cols("surface"),
     )
@@ -194,6 +212,4 @@ def gazetteer_mentions(
     udf = F.pandas_udf(matcher, ArrayType(StringType()))
     return transcripts.select(
         "conv_id", "turn_idx", F.posexplode(udf(F.col("text"))).alias("pos", "surface")
-    ).withColumn(
-        "mention_id", F.xxhash64("conv_id", "turn_idx", "pos", "surface")
-    )
+    ).withColumn("mention_id", mention_id_col())

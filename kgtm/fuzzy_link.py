@@ -7,9 +7,11 @@ ordering (D3) and q-priority pick (C4): candidates are scored, the best
 score wins, ties break deterministically (label asc).
 
 Plan shape at scale:
-  1. blocking — char-n-gram MinHash band hashes on BOTH sides (vectorized
-     numpy UDF); candidates come from the (band, hash) equi-join, so the
-     mention side meets only its bucket, never the whole dictionary;
+  1. blocking — char-n-gram MinHash signatures on BOTH sides (vectorized
+     numpy UDF); band hashes are computed JVM-SIDE (xxhash64 over signature
+     slices, same codegen shape as kgtm.dedup.minhash_lsh_pairs) and
+     candidates come from the (band, hash) equi-join, so the mention side
+     meets only its bucket, never the whole dictionary;
   2. verification — exact n-gram Jaccard on candidate pairs only;
   3. decision — groupBy(mention) max_by(score) with threshold (unlinked
      below it), one partial-aggregatable shuffle.
@@ -17,7 +19,6 @@ Plan shape at scale:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
@@ -36,27 +37,23 @@ def char_ngrams_col(text: str, n: int = 3):
     )
 
 
-def _band_udf(n_hashes: int, n_bands: int):
-    rows_per_band = n_hashes // n_bands
+def _signature_udf(n_hashes: int):
+    """Vectorized minhash signature UDF (shared body with kgtm.dedup)."""
+    return F.pandas_udf(
+        lambda s: minhash_signature_series(s, n_hashes), ArrayType(LongType())
+    )
 
-    def _fold(vals: list[int], b: int) -> int:
-        # stable band hash (NOT Python hash() — that is per-process seeded);
-        # band id mixed in multiplicatively, result kept inside int64
-        acc = 1469598103934665603 ^ (b * 0x9E3779B97F4A7C15)
-        for v in vals:
-            acc = ((acc ^ int(v)) * 1099511628211) & ((1 << 62) - 1)
-        return acc
 
-    def bands(shingle_lists: pd.Series) -> pd.Series:
-        sigs = minhash_signature_series(shingle_lists, n_hashes)
-        return sigs.map(
-            lambda sig: [
-                _fold(sig[b * rows_per_band : (b + 1) * rows_per_band], b)
-                for b in range(n_bands)
-            ]
+def _band_buckets(sig_col, n_bands: int, rows_per_band: int):
+    """(band, bucket) pairs from a signature column — JVM-side xxhash64 over
+    signature slices (same codegen shape as kgtm.dedup.minhash_lsh_pairs;
+    the band id is a separate join key, so no Python folding loop)."""
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(F.slice(sig_col, b * rows_per_band + 1, rows_per_band)),
         )
-
-    return F.pandas_udf(bands, ArrayType(LongType()))
+    )
 
 
 def link_fuzzy(
@@ -74,30 +71,33 @@ def link_fuzzy(
 
     Returns mentions with (matched_label, entity, score, is_linked).
     """
-    bands = _band_udf(n_hashes, n_bands)
+    rows_per_band = n_hashes // n_bands
+    sig = _signature_udf(n_hashes)
 
     m = mentions.withColumn("_sh", char_ngrams_col(mention_col, n)).withColumn(
-        "_bands", bands(F.col("_sh"))
+        "_sig", sig(F.col("_sh"))
     )
     l = labels.withColumn("_lsh", char_ngrams_col(label_col, n)).withColumn(
-        "_lbands", bands(F.col("_lsh"))
+        "_lsig", sig(F.col("_lsh"))
     )
 
     m_keys = m.select(
         F.col(mention_col).alias("_m"),
         F.col("_sh"),
-        F.explode("_bands").alias("_bucket"),
+        _band_buckets(F.col("_sig"), n_bands, rows_per_band).alias("_band", "_bucket"),
     )
     l_keys = F.broadcast(
         l.select(
             F.col(label_col).alias("_l"),
             F.col(entity_col).alias("_e"),
             F.col("_lsh"),
-            F.explode("_lbands").alias("_bucket"),
+            _band_buckets(F.col("_lsig"), n_bands, rows_per_band).alias(
+                "_band", "_bucket"
+            ),
         )
     )
     cand = (
-        m_keys.join(l_keys, "_bucket")
+        m_keys.join(l_keys, ["_band", "_bucket"])
         .select("_m", "_sh", "_l", "_e", "_lsh")
         .distinct()
     )

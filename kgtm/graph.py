@@ -15,32 +15,31 @@ from pyspark.sql.window import Window
 
 
 def entity_degrees(triples: DataFrame) -> DataFrame:
-    """Per-entity degree view: in/out degree, distinct predicates/convs.
+    """Per-entity degree view: in/out degree, distinct out-predicates, and
+    distinct conversations the entity appears in (EITHER role — a true
+    distinct over the union, not a per-direction max).
 
-    One shuffle per direction over the (already canonicalized) triple table;
-    union-aggregate keeps a single output row per entity.
+    One exploded-role pass → ONE shuffle on entity (count_distinct runs as a
+    partial-aggregatable expand under the same exchange).
     """
-    out_deg = triples.groupBy(F.col("subj").alias("entity")).agg(
-        F.count(F.lit(1)).alias("out_degree"),
-        F.lit(0).cast("long").alias("in_degree"),
-        F.count_distinct("pred").alias("n_preds_out"),
-        F.count_distinct("conv_id").alias("n_convs"),
-    )
-    in_deg = triples.groupBy(F.col("obj").alias("entity")).agg(
-        F.lit(0).cast("long").alias("out_degree"),
-        F.count(F.lit(1)).alias("in_degree"),
-        F.lit(0).cast("long").alias("n_preds_out"),
-        F.count_distinct("conv_id").alias("n_convs"),
-    )
-    return (
-        out_deg.unionByName(in_deg)
-        .groupBy("entity")
-        .agg(
-            F.sum("out_degree").alias("out_degree"),
-            F.sum("in_degree").alias("in_degree"),
-            F.max("n_preds_out").alias("n_preds_out"),
-            F.max("n_convs").alias("n_convs"),
+    roles = triples.select(
+        F.col("subj").alias("entity"),
+        F.lit(True).alias("is_out"),
+        "pred",
+        "conv_id",
+    ).unionByName(
+        triples.select(
+            F.col("obj").alias("entity"),
+            F.lit(False).alias("is_out"),
+            "pred",
+            "conv_id",
         )
+    )
+    return roles.groupBy("entity").agg(
+        F.count(F.when(F.col("is_out"), 1)).alias("out_degree"),
+        F.count(F.when(~F.col("is_out"), 1)).alias("in_degree"),
+        F.count_distinct(F.when(F.col("is_out"), F.col("pred"))).alias("n_preds_out"),
+        F.count_distinct("conv_id").alias("n_convs"),
     )
 
 

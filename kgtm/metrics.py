@@ -23,6 +23,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def format_error_message(message: str, keep: int = 10) -> str:
+    """Head/tail line truncation of long error messages (F3 analog:
+    parse_ontologies.py:21-25 — first 10 + last 10 lines with an ellipsis
+    block when the message exceeds 2×keep lines)."""
+    lines = message.splitlines()
+    if len(lines) > 2 * keep:
+        return "\n".join(lines[:keep] + ["\n\n\n............\n\n\n"] + lines[-keep:])
+    return message
+
+
 def error_struct(exc: BaseException) -> dict:
     """Flatten an exception's causal chain (F9 analog:
     download_ontologies.py:28-47)."""
@@ -35,7 +45,7 @@ def error_struct(exc: BaseException) -> dict:
         e = e.__cause__ or e.__context__
     return {
         "type": type(exc).__name__,
-        "message": str(exc)[:500],
+        "message": format_error_message(str(exc)),
         "chain": "||".join(chain),
     }
 

@@ -193,6 +193,38 @@ def effective_accept_col(
     )
 
 
+def accept_mimes_col(accept_name: str) -> Column:
+    """array<string> of the requested mimetypes from an Accept header, in
+    header order (the failover acceptance gate needs the mime SET only —
+    proxy_logic.py:219-229 takes [x[0] for x in parsed])."""
+    return F.expr(
+        f"""
+        transform(filter(transform(split({accept_name}, ','), s -> trim(s)),
+                         s -> s != ''),
+                  s -> trim(split(s, ';')[0]))
+        """
+    )
+
+
+def live_acceptable_col(
+    status_name: str, content_type_name: str, accept_name: str
+) -> Column:
+    """The failover acceptance gate (D3, proxy_logic.py:209-238): a live
+    response is accepted iff
+
+      status ∈ PASSTHROUGH_STATUS_CODES (utils.py:18-32)
+      AND its Content-Type — pre-';' parameters, headers.get default ';' when
+      absent (proxy_logic.py:223-225) — is among the requested mimetypes.
+    """
+    statuses = ", ".join(str(s) for s in PASSTHROUGH_STATUS_CODES)
+    mime_base = (
+        f"trim(split(coalesce({content_type_name}, ';'), ';')[0])"
+    )
+    return F.expr(
+        f"array_contains(array({statuses}), {status_name})"
+    ) & F.array_contains(accept_mimes_col(accept_name), F.expr(mime_base))
+
+
 def format_from_accept_col(accept_name: str) -> Column:
     """Full negotiation as ONE column expression over a column name.
 

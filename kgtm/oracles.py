@@ -24,8 +24,11 @@ MENTION_LINK_CTES = f"""
     SELECT * FROM {duckdb_index_values()}
   ),
   mentions AS (
+    -- ALL IRIs per turn (regexp_extract_all + unnest), matching the engine's
+    -- posexplode(regexp_extract_all(...)) — a first-IRI-only oracle would be
+    -- weaker than the engine on multi-IRI turns.
     SELECT conv_id, turn_idx,
-           regexp_extract(text, '{IRI_SQL_REGEX}', 1) AS surface
+           unnest(regexp_extract_all(text, '{IRI_SQL_REGEX}', 1)) AS surface
     FROM transcripts
   ),
   parsed AS (
@@ -611,6 +614,83 @@ def q_request_lifecycle() -> str:
     """
 
 
+# Failover (D3) live-leg modeling: per-mention live status / Content-Type are
+# deterministic functions of the planted k (status by k%7, content-type by
+# k%5, Accept header by k%6 — co-prime-ish moduli so all combinations occur).
+FAILOVER_STATUSES = [200, 404, 500, 301, 502, 304, 403]
+FAILOVER_CONTENT_TYPES = [
+    "text/turtle",
+    "text/turtle; charset=utf-8",
+    "application/rdf+xml",
+    "application/json",
+    None,
+]
+
+
+def q_failover_resolution() -> str:
+    """Twin of resolve_links(mode='originalFailoverLiveLatest'): acceptance
+    booleans are pinned from the PURE-PYTHON spec (kgtm.negotiate, itself the
+    port of proxy_logic.py:209-238 + utils.py:18-32), so the SQL is a golden
+    table over (k%6, k%5, k%7) while Spark computes the gate from column
+    expressions."""
+    from kgtm.negotiate import (
+        PASSTHROUGH_STATUS_CODES,
+        parse_accept_header_with_priority,
+    )
+
+    header_mimes = [
+        [m for m, _ in parse_accept_header_with_priority(h)]
+        for h in LIFECYCLE_HEADERS
+    ]
+    ct_base = [(c or ";").split(";")[0].strip() for c in FAILOVER_CONTENT_TYPES]
+    status_ok_sql = " ".join(
+        f"WHEN {i} THEN {str(s in PASSTHROUGH_STATUS_CODES).upper()}"
+        for i, s in enumerate(FAILOVER_STATUSES)
+    )
+    ct_ok_sql = " ".join(
+        f"WHEN {i6 * 5 + i5} THEN {str(ct_base[i5] in header_mimes[i6]).upper()}"
+        for i6 in range(6)
+        for i5 in range(5)
+    )
+    hdr_sql = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(LIFECYCLE_HEADERS)
+    )
+    status_sql = " ".join(
+        f"WHEN {i} THEN {s}" for i, s in enumerate(FAILOVER_STATUSES)
+    )
+    ct_sql = " ".join(
+        f"WHEN {i} THEN '{c}'"
+        for i, c in enumerate(FAILOVER_CONTENT_TYPES)
+        if c is not None
+    )
+    accepted = f"(CASE k7 {status_ok_sql} END AND CASE k6 * 5 + k5 {ct_ok_sql} END)"
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES}, {LATEST_CTE}
+      SELECT l.conv_id, l.turn_idx, l.surface,
+             CASE k6 {hdr_sql} END AS accept_header,
+             CAST(CASE k7 {status_sql} END AS INT) AS live_status,
+             CASE k5 {ct_sql} ELSE NULL END AS live_content_type,
+             CASE WHEN NOT l.is_linked THEN 'unlinked'
+                  WHEN {accepted} THEN 'original'
+                  WHEN t.snapshot_iri IS NULL THEN 'not-found'
+                  ELSE 'archivo-latest' END AS source,
+             CASE WHEN NOT l.is_linked THEN NULL
+                  WHEN {accepted} THEN NULL
+                  ELSE t.snapshot_iri END AS snapshot_iri
+      FROM (
+        SELECT l.*,
+               CAST(k % 6 AS INT) AS k6,
+               CAST(k % 5 AS INT) AS k5,
+               CAST(k % 7 AS INT) AS k7
+        FROM (
+          SELECT l.*, TRY_CAST(regexp_extract(tr.text, 'k=([0-9]+)', 1) AS BIGINT) AS k
+          FROM links l JOIN transcripts tr USING (conv_id, turn_idx)
+        ) l
+      ) l
+      LEFT JOIN latest t USING (ontology_iri)
+    """
+
+
 def q_asof_per_row() -> str:
     """Per-row as-of pins: pin = 2024-01-01 + (k mod 400) days per mention."""
     return f"""
@@ -676,20 +756,77 @@ def q_entity_degrees() -> str:
                coalesce(l.ontology_iri, l.surface) AS obj
         FROM links l
       ),
-      outd AS (
-        SELECT subj AS entity, count(*) AS out_degree, 0::BIGINT AS in_degree,
-               count(DISTINCT pred) AS n_preds_out, count(DISTINCT conv_id) AS n_convs
-        FROM triples GROUP BY subj),
-      ind AS (
-        SELECT obj AS entity, 0::BIGINT, count(*), 0::BIGINT,
-               count(DISTINCT conv_id)
-        FROM triples GROUP BY obj)
-      SELECT entity, sum(out_degree)::BIGINT AS out_degree,
-             sum(in_degree)::BIGINT AS in_degree,
-             max(n_preds_out)::BIGINT AS n_preds_out,
-             max(n_convs)::BIGINT AS n_convs
-      FROM (SELECT * FROM outd UNION ALL SELECT * FROM ind)
-      GROUP BY entity
+      roles AS (
+        SELECT subj AS entity, TRUE AS is_out, pred, conv_id FROM triples
+        UNION ALL
+        SELECT obj, FALSE, pred, conv_id FROM triples
+      )
+      SELECT entity,
+             (count(*) FILTER (WHERE is_out))::BIGINT AS out_degree,
+             (count(*) FILTER (WHERE NOT is_out))::BIGINT AS in_degree,
+             (count(DISTINCT pred) FILTER (WHERE is_out))::BIGINT AS n_preds_out,
+             count(DISTINCT conv_id)::BIGINT AS n_convs
+      FROM roles GROUP BY entity
+    """
+
+
+def q_gazetteer_mentions() -> str:
+    """Twin of extract.gazetteer_mentions over the role labels: whole-word
+    union-regex hits per surface (same longest-first alternation as the
+    engine's compiled pattern)."""
+    labels = ["click", "error", "purchase", "signup", "view"]
+    alt = "|".join(sorted(labels, key=len, reverse=True))
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE},
+      hits AS (
+        SELECT unnest(regexp_extract_all(text, '\\b({alt})\\b', 1)) AS surface
+        FROM transcripts
+      )
+      SELECT surface, count(*) AS n_hits FROM hits GROUP BY surface
+    """
+
+
+def q_fuzzy_linking() -> str:
+    """Golden-table twin of the fuzzy_linking gate query: the expected top-1
+    links are recomputed HERE with exact char-3-gram Jaccard in pure Python
+    (surfaces = role labels + doubled-last-char typos + one junk string,
+    labels = the ontology dictionary), pinned as VALUES. The Spark side goes
+    through the full MinHash-LSH blocking path — at 100% candidate recall on
+    this corpus both sides agree exactly."""
+    from kgtm.transcripts import DICT_HOST, EVENT_TYPES
+
+    def grams(s: str) -> set[str]:
+        s = " ".join(s.lower().split())
+        return {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else set()
+
+    labels = sorted(EVENT_TYPES)
+    surfaces = sorted(EVENT_TYPES) + sorted(e + e[-1] for e in EVENT_TYPES) + ["zzz qqq"]
+    rows = []
+    for s in surfaces:
+        best = None  # (score, label) — max score, ties broken by min label
+        for lab in labels:
+            a, b = grams(s), grams(lab)
+            union = len(a | b)
+            j = len(a & b) / union if union else 0.0
+            if j >= 0.3 and (best is None or j > best[0] or (j == best[0] and lab < best[1])):
+                best = (j, lab)
+        if best:
+            rows.append(
+                f"('{s}', '{best[1]}', 'http://{DICT_HOST}/{best[1]}', "
+                f"CAST({round(best[0], 6)} AS DOUBLE), TRUE)"
+            )
+        else:
+            rows.append(
+                f"('{s}', NULL, NULL, CAST(NULL AS DOUBLE), FALSE)"
+            )
+    vals = ",\n      ".join(rows)
+    return f"""
+      SELECT CAST(surface AS VARCHAR) AS surface,
+             CAST(matched_label AS VARCHAR) AS matched_label,
+             CAST(entity AS VARCHAR) AS entity,
+             score, CAST(is_linked AS BOOLEAN) AS is_linked
+      FROM (VALUES
+      {vals}) AS t(surface, matched_label, entity, score, is_linked)
     """
 
 

@@ -110,23 +110,25 @@ def build_triples(
         )
     )
 
-    out = (
-        triples.join(subj_dim, triples["subj"] == subj_dim["s_surface"], "left")
-        .join(obj_dim, triples["obj"] == obj_dim["o_surface"], "left")
-        .select(
-            "conv_id",
-            F.coalesce("subj_ontology_iri", "subj").alias("subj"),
-            "pred",
-            F.coalesce("obj_ontology_iri", "obj").alias("obj"),
-            "subj_snapshot_iri",
-            "obj_snapshot_iri",
-            F.coalesce("obj_source", "subj_source", F.lit("unlinked")).alias("source"),
-        )
-    )
+    out = triples.join(
+        subj_dim, triples["subj"] == subj_dim["s_surface"], "left"
+    ).join(obj_dim, triples["obj"] == obj_dim["o_surface"], "left")
     if config.restricted_access:
-        # Deny gate (proxy_logic.py:39-44): drop triples whose object IRI is
-        # outside the dictionary under restrictedAccess.
+        # Deny gate (proxy_logic.py:39-44): the reference denies on DICTIONARY
+        # MEMBERSHIP only — linkage, not snapshot presence (a linked ontology
+        # with no archived snapshot is a 404, not a 403, and under
+        # onto_version='original' snapshot_iri is always NULL by design).
+        # obj_source IS NULL ⇔ the http object never linked (surface_dim is
+        # filtered to is_linked rows).
         out = out.filter(
-            ~(F.col("obj").startswith("http") & F.col("obj_snapshot_iri").isNull())
+            ~(F.col("obj").startswith("http") & F.col("obj_source").isNull())
         )
-    return out
+    return out.select(
+        "conv_id",
+        F.coalesce("subj_ontology_iri", "subj").alias("subj"),
+        "pred",
+        F.coalesce("obj_ontology_iri", "obj").alias("obj"),
+        "subj_snapshot_iri",
+        "obj_snapshot_iri",
+        F.coalesce("obj_source", "subj_source", F.lit("unlinked")).alias("source"),
+    )

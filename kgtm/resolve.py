@@ -190,14 +190,35 @@ def resolve_links(
     snapshots: DataFrame,
     mode: str = "latestArchived",
     pin_ts: dt.datetime | None = None,
+    live_status_col: str = "live_status",
+    live_content_type_col: str = "live_content_type",
+    accept_col: str = "accept_header",
 ) -> DataFrame:
     """Attach (snapshot_iri, version_ts, file_url, source) to linked mentions.
 
     source ∈ {original, archivo-latest, archivo-timestamp, not-found,
     unlinked} — the response-source taxonomy from SURVEY.md §1.4.
+
+    ``originalFailoverLiveLatest`` needs three extra columns on ``linked``
+    modelling the live leg of each request: the live response's status code
+    (int) and Content-Type header (string, nullable), plus the request's
+    Accept header — the acceptance gate is the reference's
+    (proxy_logic.py:209-238): live wins iff status ∈ passthrough whitelist
+    AND content-type ∈ requested mimetypes; otherwise latest-archived.
     """
     if mode not in ONTO_VERSION_MODES:
         raise ValueError(f"unknown ontoVersion mode: {mode}")
+    if mode == "originalFailoverLiveLatest":
+        missing = {live_status_col, live_content_type_col, accept_col} - set(
+            linked.columns
+        )
+        if missing:
+            raise ValueError(
+                "originalFailoverLiveLatest needs live-leg columns on the "
+                f"input (missing: {sorted(missing)}): the failover gate is "
+                "status ∈ PASSTHROUGH_STATUS_CODES ∧ content-type ∈ "
+                "requested mimetypes (proxy_logic.py:209-238)"
+            )
 
     if mode == "original":
         return linked.select(
@@ -224,14 +245,31 @@ def resolve_links(
         .otherwise(F.lit(src_tag))
     )
     if mode == "originalFailoverLiveLatest":
-        # Failover semantics (proxy_logic.py:209-238): prefer the live/original
-        # form when it is acceptable; here "live acceptable" = the mention's
-        # surface form already equals the canonical ontology IRI (the exact
-        # rung-0 hit — nothing to repair), else fall back to archived-latest.
+        # Faithful failover (proxy_logic.py:209-238 + utils.py:18-32): accept
+        # the live response iff its status is in the passthrough whitelist AND
+        # its Content-Type is among the Accept header's mimetypes; else fall
+        # back to latest-archived. A NULL gate (no Accept header / no live
+        # response) falls back, like the reference's empty parse.
+        from kgtm.negotiate import live_acceptable_col
+
+        live_ok = F.coalesce(
+            live_acceptable_col(live_status_col, live_content_type_col, accept_col),
+            F.lit(False),
+        )
         source = (
             F.when(~F.col("is_linked"), F.lit("unlinked"))
-            .when(F.col("rung") == 0, F.lit("original"))
+            .when(live_ok, F.lit("original"))
             .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))
             .otherwise(F.lit(src_tag))
+        )
+        # A live-accepted response IS the original: no snapshot attaches
+        # (mirrors mode='original'; the archived columns only carry the
+        # failover leg).
+        out = out.select(
+            *[c for c in out.columns if c not in ("snapshot_iri", "version_ts", "file_url")],
+            *[
+                F.when(~live_ok | ~F.col("is_linked"), F.col(c)).alias(c)
+                for c in ("snapshot_iri", "version_ts", "file_url")
+            ],
         )
     return out.withColumn("source", source)

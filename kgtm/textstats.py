@@ -127,38 +127,37 @@ def winnow_fingerprint_series(
     texts: pd.Series, k: int = 5, window: int = 4
 ) -> pd.Series:
     """Pure UDF body: winnowing (Schleimer et al.) — min rolling k-gram hash
-    per window, xor-folded to one int64 document fingerprint."""
+    per window, xor-folded to one int64 document fingerprint.
 
-    np_err = np.errstate(over="ignore")  # uint64 wraparound is the hash
+    Fully vectorized: ALL k-gram polynomial hashes are computed in one shot as
+    sliding_window_view(bytes, k) · base_powers (uint64 wraparound IS the
+    mod-2^64 hash — identical to the rolling recurrence acc = acc*base + b[i]),
+    then a windowed min + xor-fold. No per-character Python loop.
+    """
+    base = np.uint64(257)
+    # base^{k-1}, ..., base^1, base^0 (mod 2^64)
+    powers = np.ones(k, dtype=np.uint64)
+    for i in range(k - 2, -1, -1):
+        powers[i] = powers[i + 1] * base
 
     def fp(s: str) -> int:
         if not s or len(s) < k:
             return 0
         b = np.frombuffer(s.lower().encode("utf-8", "ignore"), dtype=np.uint8)
-        n = len(b) - k + 1
-        base = np.uint64(257)
-        h = np.zeros(n, dtype=np.uint64)
-        acc = np.uint64(0)
-        powk = np.uint64(1)
-        for _ in range(k):
-            powk *= base
-        for i in range(k):
-            acc = acc * base + np.uint64(b[i])
-        h[0] = acc
-        for i in range(1, n):
-            acc = acc * base - np.uint64(b[i - 1]) * powk + np.uint64(b[i + k - 1])
-            h[i] = acc
-        if n <= window:
+        if len(b) < k:
+            return 0
+        # n×k byte windows · powers → all k-gram hashes at once
+        w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        h = (w * powers).sum(axis=1, dtype=np.uint64)
+        if len(h) <= window:
             mins = np.array([h.min()], dtype=np.uint64)
         else:
             sw = np.lib.stride_tricks.sliding_window_view(h, window)
             mins = np.unique(sw.min(axis=1))
-        out = np.uint64(0)
-        for m in mins:
-            out ^= m * np.uint64(0x9E3779B97F4A7C15)
-        return int(out.astype(np.int64))
+        folded = np.bitwise_xor.reduce(mins * np.uint64(0x9E3779B97F4A7C15))
+        return int(folded.astype(np.int64))
 
-    with np_err:
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
         return texts.fillna("").map(fp)
 
 

@@ -166,13 +166,44 @@ def test_resolve_modes(spark):
     assert orig["http://h/a"].source == "original"
     assert orig["http://h/a"].snapshot_iri is None
 
+    # failover needs the live-leg columns — faithful gate (proxy_logic.py:
+    # 209-238): status ∈ passthrough whitelist ∧ content-type ∈ Accept mimes
+    with pytest.raises(ValueError, match="live-leg columns"):
+        resolve_links(linked, snaps, "originalFailoverLiveLatest")
+
+    live = {
+        # surface → (status, content_type, accept)
+        "http://h/a": (200, "text/turtle; charset=utf-8", "text/turtle"),  # live ok
+        "http://h/a/": (500, "text/turtle", "text/turtle"),  # bad status → archived
+        "http://h/c": (200, "application/json", "text/turtle"),  # mime mismatch; no snaps → not-found
+        "http://h/zz": (200, "text/turtle", "text/turtle"),  # unlinked stays unlinked
+    }
+    rows = [(s, *live[s]) for s in live]
+    live_df = spark.createDataFrame(
+        rows, "surface string, live_status int, live_content_type string, accept_header string"
+    )
     fo = {
         r.surface: r
-        for r in resolve_links(linked, snaps, "originalFailoverLiveLatest").collect()
+        for r in resolve_links(
+            linked.join(live_df, "surface"), snaps, "originalFailoverLiveLatest"
+        ).collect()
     }
-    assert fo["http://h/a"].source == "original"        # exact rung-0 hit → live ok
-    assert fo["http://h/a/"].source == "archivo-latest"  # rung 1 → failover to archive
+    assert fo["http://h/a"].source == "original"
+    assert fo["http://h/a"].snapshot_iri is None  # live response carries no snapshot
+    assert fo["http://h/a/"].source == "archivo-latest"
+    assert fo["http://h/a/"].snapshot_iri == "snap:a:3"
+    assert fo["http://h/c"].source == "not-found"
     assert fo["http://h/zz"].source == "unlinked"
+
+    # status passes but Content-Type is not among the requested mimetypes
+    mismatch = spark.createDataFrame(
+        [("http://h/a", 200, "text/html", "text/turtle,application/n-triples;q=0.5")],
+        "surface string, live_status int, live_content_type string, accept_header string",
+    )
+    fo2 = resolve_links(
+        linked.join(mismatch, "surface"), snaps, "originalFailoverLiveLatest"
+    ).collect()
+    assert fo2[0].source == "archivo-latest" and fo2[0].snapshot_iri == "snap:a:3"
 
     with pytest.raises(ValueError):
         resolve_links(linked, snaps, "bogus")
