@@ -127,7 +127,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("sh_str").isNotNull())
         .select("id", F.xxhash64("sh_str").alias("shingle"))
     )
-    sizes = flat.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     pair_side = flat
     if max_shingle_df is not None:
@@ -146,6 +145,11 @@ def ngram_jaccard_pairs(
                 f"with document frequency > {max_shingle_df}"
             )
         pair_side = flat.join(F.broadcast(hot), "shingle", "left_anti")
+
+    # |A| over the SAME (post-cap) shingle space as |A∩B|, so the capped
+    # result is the exact Jaccard of the stop-shingle-removed sets — not a
+    # mixed-denominator underestimate.
+    sizes = pair_side.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = pair_side.select(F.col("id").alias("id_a"), "shingle")
     b = pair_side.select(F.col("id").alias("id_b"), "shingle")

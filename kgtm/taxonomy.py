@@ -20,6 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Batch linkage taxonomy. The reference's 15-category accessibility taxonomy
+# (REFERENCE_CATEGORIES below) also covers live-transport failure modes
+# (DNS / connection / TLS / redirects) that have NO batch analog here — a
+# batch job over already-materialized tables never performs live fetches, so
+# those dimensions only appear via map_error_to_category when classifying
+# recorded error logs, not in the linkage CASE below.
 CATEGORIES = [
     "exact-linked",          # rung 0 hit
     "normalized-linked",     # rung 1-5 hit (path was repaired)
@@ -27,6 +33,57 @@ CATEGORIES = [
     "unlinked",              # outside the dictionary
     "denied",                # restrictedAccess refusals (403 analog)
 ]
+
+# The reference's full 15-category accessibility taxonomy
+# (aggregate_results.py:38-57).
+REFERENCE_CATEGORIES = [
+    "unsuccessful payload retrieval",
+    "DNS issue",
+    "Con. / transport issue",
+    "TLS cert issue",
+    "Too many redirects",
+    "Non-200 HTTP code",
+    "Successful request (code 200)",
+    "0 bytes content",
+    "no rdf content (0 triples parsable)",
+    "partially parsable rdf-content",
+    "fully parsable rdf-content",
+    "no RDF mimetype",
+    "confused RDF mimetype",
+    "correct mimetype",
+    "correct for all 3 formats",
+]
+
+
+def map_error_to_category(error_type: str, type_more_specific: str | None = None) -> str:
+    """Pure port of the reference's error→category CASE
+    (aggregate_results.py:60-72): exception class name (+ more-specific
+    detail) → transport category."""
+    if error_type == "TooManyRedirects":
+        return "Too many redirects"
+    if error_type == "SSLError":
+        return "TLS cert issue"
+    if error_type == "ConnectionError" and type_more_specific == "NameResolutionError":
+        return "DNS issue"
+    return "Con. / transport issue"
+
+
+def error_dimension_category(error_dimension: str, expected_error: str) -> str:
+    """Map the golden-TSV failure dimensions (tests/archivo_test_IRIs.tsv:
+    error_dimension × expected_error) onto REFERENCE_CATEGORIES."""
+    if error_dimension == "dns":
+        return "DNS issue"
+    if error_dimension == "transport":
+        return (
+            "TLS cert issue"
+            if expected_error == "cert-expired"
+            else "Con. / transport issue"
+        )
+    if error_dimension == "http-code":
+        return "Non-200 HTTP code"
+    if error_dimension == "content":
+        return "0 bytes content" if expected_error == "0-bytes" else "no RDF mimetype"
+    return "Successful request (code 200)"
 
 RDF_MIMETYPES = [
     "application/rdf+xml",

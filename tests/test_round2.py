@@ -1,0 +1,261 @@
+"""Round-2 regression tests: faithful failover plumbing lives in
+test_extract_link_resolve; here the remaining fixes — deny-gate semantics,
+skew cap, star-CC wiring, oracle parity on multi-IRI turns, vectorized
+winnowing, error truncation, 128-bit mention ids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgtm.oracles import MENTION_LINK_CTES
+from kgtm.pipeline import PipelineConfig, build_triples
+from kgtm.schemas import (
+    ONTOLOGY_INDEX_SCHEMA,
+    ONTOLOGY_SNAPSHOTS_SCHEMA,
+    TRANSCRIPTS_SCHEMA,
+)
+
+# ---------------------------------------------------------------------------
+# restrictedAccess deny gate: membership, not snapshot presence
+# ---------------------------------------------------------------------------
+
+
+def _mini_world(spark):
+    import datetime as dt
+
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "agent uses http://h/a now", None, dt.datetime(2024, 1, 1)),
+            ("c1", 1, "user", "agent uses http://h/nosnap now", None, dt.datetime(2024, 1, 1)),
+            ("c1", 2, "user", "agent uses http://evil.example/x now", None, dt.datetime(2024, 1, 1)),
+        ],
+        TRANSCRIPTS_SCHEMA,
+    )
+    idx = spark.createDataFrame(
+        [("http://h/a", "h", "/a", "slash"), ("http://h/nosnap", "h", "/nosnap", "slash")],
+        ONTOLOGY_INDEX_SCHEMA,
+    )
+    snaps = spark.createDataFrame(
+        [("http://h/a", dt.datetime(2024, 6, 1), "snap:a", "url:a", [])],
+        ONTOLOGY_SNAPSHOTS_SCHEMA,
+    )
+    return tr, idx, snaps
+
+
+def test_restricted_access_denies_on_membership_only(spark):
+    """The reference denies on dictionary membership (proxy_logic.py:39-44):
+    a linked ontology with NO archived snapshot is a 404 analog, not a 403 —
+    it must survive the deny gate."""
+    tr, idx, snaps = _mini_world(spark)
+    out = build_triples(
+        tr, idx, snaps,
+        PipelineConfig(restricted_access=True, persist_intermediate=False),
+    ).collect()
+    objs = {r.obj for r in out}
+    assert "http://h/a" in objs  # linked + snapshot
+    assert "http://h/nosnap" in objs  # linked, snapshotless → kept (404, not 403)
+    assert not any("evil.example" in o for o in objs)  # non-member → denied
+
+
+def test_restricted_access_keeps_linked_under_original_mode(spark):
+    """onto_version='original' has snapshot_iri NULL for EVERY row by design;
+    the old snapshot-presence filter dropped all http objects here."""
+    tr, idx, snaps = _mini_world(spark)
+    out = build_triples(
+        tr, idx, snaps,
+        PipelineConfig(
+            onto_version="original", restricted_access=True,
+            persist_intermediate=False,
+        ),
+    ).collect()
+    objs = {r.obj for r in out}
+    assert {"http://h/a", "http://h/nosnap"} <= objs
+    assert not any("evil.example" in o for o in objs)
+
+
+# ---------------------------------------------------------------------------
+# hot-shingle skew cap (default on)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_skew_cap_drops_stop_phrase_only(spark, capsys):
+    """Every doc shares one stop phrase; one genuine near-dup pair shares
+    unique shingles too. The cap must kill the stop-phrase fan-out without
+    losing the genuine pair."""
+    from kgtm.dedup import ngram_jaccard_pairs
+
+    stop = "the quick brown fox jumps over the lazy dog again"
+    docs = [(i, f"{stop} unique tail number {i} content {i * 7} here") for i in range(40)]
+    # a genuine near-dup pair: same tail, one word differs
+    docs.append((100, f"{stop} shared tail alpha beta gamma delta epsilon zeta"))
+    docs.append((101, f"{stop} shared tail alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(
+        df, threshold=0.4, max_shingle_df=10, log_dropped=True
+    ).collect()
+    uncapped = ngram_jaccard_pairs(df, threshold=0.4, max_shingle_df=None).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+    # the genuine pair's EXACT jaccard differs (capped drops shared hot
+    # shingles from both |∩| and the per-doc counts) but survives
+    assert {(r.id_a, r.id_b) for r in uncapped} >= {(100, 101)}
+    assert "dropped" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# star CC wiring + plain-CC convergence guard
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_clusters_chain_shaped(spark):
+    """dedup_clusters must close a CHAIN of pairwise near-dups into one
+    cluster (routed through the O(log n) star variant)."""
+    from kgtm.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    all_ids = spark.createDataFrame([(i,) for i in range(45)], "doc_id long")
+    out = {r.id: r for r in dedup_clusters(pairs, all_ids).collect()}
+    assert len({out[i].cluster_id for i in range(41)}) == 1
+    assert out[0].is_survivor and not out[1].is_survivor
+    # ids 41..44 are singletons
+    assert all(out[i].cluster_id == str(i) and out[i].is_survivor for i in range(41, 45))
+
+
+def test_plain_cc_raises_on_nonconvergence(spark):
+    from kgtm.canonicalize import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(20)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# multi-IRI-per-turn: engine vs DuckDB mention CTE parity
+# ---------------------------------------------------------------------------
+
+
+def test_multi_iri_oracle_parity(spark):
+    """The DuckDB mention CTE must extract ALL IRIs per turn (the engine
+    does); parity on a turn with 3 IRIs, one of them repeated."""
+    import duckdb
+
+    from kgtm.extract import extract_mentions
+    from kgtm.link import link_mentions
+    from kgtm.transcripts import ontology_index_df
+
+    texts = [
+        ("c1", 0, "see http://onto.example.org/view and http://onto.example.org/click/ plus http://unknown.example.net/z"),
+        ("c1", 1, "dup http://onto.example.org/view then http://onto.example.org/view again"),
+        ("c2", 0, "none here"),
+    ]
+    tr = spark.createDataFrame(texts, "conv_id string, turn_idx int, text string")
+    linked = link_mentions(extract_mentions(tr), ontology_index_df(spark))
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.surface, r.is_linked, r.ontology_iri)
+        for r in linked.collect()
+    )
+
+    tr_vals = ",\n".join(
+        f"('{c}', {t}, '{x}')" for c, t, x in texts
+    )
+    # MENTION_LINK_CTES is already rendered (inline dictionary VALUES); only
+    # the transcripts CTE is swapped for the literal multi-IRI rows.
+    want = sorted(
+        tuple(r) for r in duckdb.sql(
+            f"""WITH transcripts AS (
+                  SELECT * FROM (VALUES {tr_vals}) AS t(conv_id, turn_idx, text)
+                ), {MENTION_LINK_CTES}
+                SELECT conv_id, turn_idx, surface, is_linked, ontology_iri FROM links
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # 3 + 2 mentions from the IRI turns (dup IRIs are separate mentions)
+    assert len(got) == 5
+
+
+# ---------------------------------------------------------------------------
+# vectorized winnowing: parity with the per-character rolling-hash reference
+# ---------------------------------------------------------------------------
+
+
+def _winnow_reference(s: str, k: int = 5, window: int = 4) -> int:
+    """The pre-vectorization per-character rolling-hash implementation."""
+    if not s or len(s) < k:
+        return 0
+    with np.errstate(over="ignore"):
+        b = np.frombuffer(s.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(b) - k + 1
+        base = np.uint64(257)
+        h = np.zeros(n, dtype=np.uint64)
+        acc = np.uint64(0)
+        powk = np.uint64(1)
+        for _ in range(k):
+            powk *= base
+        for i in range(k):
+            acc = acc * base + np.uint64(b[i])
+        h[0] = acc
+        for i in range(1, n):
+            acc = acc * base - np.uint64(b[i - 1]) * powk + np.uint64(b[i + k - 1])
+            h[i] = acc
+        if n <= window:
+            mins = np.array([h.min()], dtype=np.uint64)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            mins = np.unique(sw.min(axis=1))
+        out = np.uint64(0)
+        for m in mins:
+            out ^= m * np.uint64(0x9E3779B97F4A7C15)
+        return int(out.astype(np.int64))
+
+
+def test_winnow_vectorized_matches_rolling_reference():
+    from kgtm.textstats import winnow_fingerprint_series
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefg hij")
+    texts = [
+        "".join(rng.choice(alphabet, size=int(n)))
+        for n in rng.integers(0, 200, size=60)
+    ] + ["", "abc", "exact"]
+    got = winnow_fingerprint_series(pd.Series(texts)).tolist()
+    want = [_winnow_reference(t) for t in texts]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# error truncation + mention id width
+# ---------------------------------------------------------------------------
+
+
+def test_format_error_message_head_tail():
+    from kgtm.metrics import format_error_message
+
+    short = "\n".join(f"line{i}" for i in range(20))
+    assert format_error_message(short) == short
+    long = "\n".join(f"line{i}" for i in range(50))
+    out = format_error_message(long).splitlines()
+    assert out[:10] == [f"line{i}" for i in range(10)]
+    assert out[-10:] == [f"line{i}" for i in range(40, 50)]
+    assert "............" in "\n".join(out)
+
+
+def test_mention_id_is_128_bit_and_distinct_per_pos(spark):
+    from kgtm.extract import extract_mentions
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "x http://h/a y http://h/a z")],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = extract_mentions(tr).collect()
+    assert len(rows) == 2
+    ids = {r.mention_id for r in rows}
+    assert len(ids) == 2  # same surface, different pos → distinct ids
+    assert all(isinstance(i, str) and len(i) == 32 for i in ids)
