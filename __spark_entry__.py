@@ -520,17 +520,35 @@ def _q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mention_contexts(tr, linked)
 
 
+def _new_index(spark: SparkSession) -> DataFrame:
+    from kgtm.transcripts import mutated_index_rows
+
+    return spark.createDataFrame(
+        mutated_index_rows(), ontology_index_df(spark).schema
+    )
+
+
 def _q_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.graph import index_diff
 
+    return index_diff(ontology_index_df(spark), _new_index(spark))
+
+
+def _q_incremental_relink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-delta re-link: only mentions whose ladder keys touch the
+    changed (host, path) entries are re-linked against the new index; the
+    oracle is a FULL re-link — equality is the operator's contract."""
+    from kgtm.link import incremental_relink
+
+    tr = _transcripts(spark, sf_dir)
+    m = extract_mentions(tr)
     old = ontology_index_df(spark)
-    new = old.filter(~F.col("ontology_iri").endswith("/click")).unionByName(
-        spark.createDataFrame(
-            [("http://onto.example.org/newone", "onto.example.org", "/newone", "term")],
-            old.schema,
-        )
+    linked = link_mentions(m, old)
+    out = incremental_relink(linked, old, _new_index(spark))
+    return out.select(
+        "conv_id", "turn_idx", "surface", "is_linked", "rung",
+        "ontology_iri", "canonical_path",
     )
-    return index_diff(old, new)
 
 
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_degrees": _q_entity_degrees,
         "mention_contexts": _q_mention_contexts,
         "index_diff": _q_index_diff,
+        "incremental_relink": _q_incremental_relink,
         "value_percentiles": _q_value_percentiles,
         "value_percentiles_approx": _q_value_percentiles_approx,
         # training-data ops
@@ -626,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'added', 'http://onto.example.org/newone'
         """,
+        "incremental_relink": oracles.q_incremental_relink(),
         "value_percentiles": oracles.q_value_percentiles(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),

@@ -145,6 +145,12 @@ def main() -> None:
         "precision": round(pr["precision"], 4),
         "recall": round(pr["recall"], 4),
     }
+    # two-cluster-size scaling evidence (north_rule): produced by
+    # scripts/bench_scaling.py (local[8] vs local[32] on identical input,
+    # plus the measured hardware ceiling used for normalization)
+    scaling_path = Path(__file__).resolve().parent / "BENCH" / "scaling.json"
+    if scaling_path.exists():
+        out["scaling"] = json.loads(scaling_path.read_text())
     print(json.dumps(out))
     spark.stop()
 

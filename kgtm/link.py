@@ -209,6 +209,62 @@ def link_surfaces(surfaces: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
+def incremental_relink(
+    linked: DataFrame, old_index: DataFrame, new_index: DataFrame
+) -> DataFrame:
+    """Re-link ONLY the mentions affected by a dictionary change.
+
+    The scale story behind kgtm.graph.index_diff: when the ontology index
+    changes (the A1 change-detection semantics, download_archivo_urls.py:
+    41-46), the reference reloads everything; at 10^12 mentions a full
+    re-link re-scans the world for a dictionary delta of a few rows. Instead:
+
+      1. changed keys = (host, path) symmetric difference of the two index
+         snapshots — broadcast-sized by construction (it's a delta);
+      2. affected mentions = semi-join of each mention's ≤6 ladder candidate
+         keys against the changed keys (broadcast probe, no shuffle of the
+         mention side);
+      3. re-run the ladder on the affected slice against the NEW index;
+         everything else keeps its old linkage row untouched.
+
+    Output schema == link_mentions' output; equality with a full re-link
+    against new_index is the correctness contract (oracle-checked).
+    """
+    old_keys = old_index.select("host", F.col("path").alias("cand_path"))
+    new_keys = new_index.select("host", F.col("path").alias("cand_path"))
+    changed = F.broadcast(
+        old_keys.exceptAll(new_keys).unionByName(new_keys.exceptAll(old_keys)).distinct()
+    )
+
+    cands = linked.select(
+        "mention_id",
+        "host",
+        F.explode(candidate_paths_col("path")).alias("cand"),
+    ).select("mention_id", "host", F.col("cand.cand_path").alias("cand_path"))
+    # Path-less mentions match on host alone (proxy_logic.py:100-101): any
+    # change within their host can flip the host-only membership, so flag
+    # them by host, not by candidate key.
+    pathless_affected = (
+        linked.filter(F.col("path").isNull() | (F.col("path") == ""))
+        .join(F.broadcast(changed.select("host").distinct()), "host", "left_semi")
+        .select("mention_id")
+    )
+    affected_ids = (
+        cands.join(changed, ["host", "cand_path"], "left_semi")
+        .select("mention_id")
+        .unionByName(pathless_affected)
+        .distinct()
+    )
+
+    mention_cols = ["mention_id", "conv_id", "turn_idx", "surface", "host", "path"]
+    affected = linked.join(affected_ids, "mention_id", "left_semi").select(
+        *mention_cols
+    )
+    refreshed = link_mentions(affected, new_index)
+    untouched = linked.join(affected_ids, "mention_id", "left_anti")
+    return untouched.select(*refreshed.columns).unionByName(refreshed)
+
+
 def deny_unlinked(linked: DataFrame, restricted_access: bool) -> DataFrame:
     """The deny gate (proxy_logic.py:39-44): under restrictedAccess, mentions
     outside the dictionary get outcome 'denied' (403 analog); otherwise they

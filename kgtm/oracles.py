@@ -19,9 +19,13 @@ IRI_SQL_REGEX = r"(https?://[A-Za-z0-9.\-]+(?:/[A-Za-z0-9./#_\-]*)?)"
 # mention extraction + parse + ladder candidates + min-rung link, as CTEs.
 # Ladder twin of kgtm/normalize.py:ladder_candidates (rungs 0-5; later rungs
 # derive from the rstripped path, mirroring proxy_logic.py:108-141).
-MENTION_LINK_CTES = f"""
+def mention_link_ctes(index_values_sql: str) -> str:
+    """The mention→link CTE chain over an arbitrary dictionary VALUES table
+    (the default MENTION_LINK_CTES binds the canonical inline dictionary;
+    q_incremental_relink rebinds a mutated one)."""
+    return f"""
   ontology_index_dict AS (
-    SELECT * FROM {duckdb_index_values()}
+    SELECT * FROM {index_values_sql}
   ),
   mentions AS (
     -- ALL IRIs per turn (regexp_extract_all + unnest), matching the engine's
@@ -69,6 +73,9 @@ MENTION_LINK_CTES = f"""
       ON p.conv_id = b.conv_id AND p.turn_idx = b.turn_idx AND p.surface = b.surface
   )
 """
+
+
+MENTION_LINK_CTES = mention_link_ctes(duckdb_index_values())
 
 LATEST_CTE = f"""
   latest AS (
@@ -767,6 +774,20 @@ def q_entity_degrees() -> str:
              (count(DISTINCT pred) FILTER (WHERE is_out))::BIGINT AS n_preds_out,
              count(DISTINCT conv_id)::BIGINT AS n_convs
       FROM roles GROUP BY entity
+    """
+
+
+def q_incremental_relink() -> str:
+    """Twin of the incremental_relink gate query: the oracle is a FULL
+    re-link against the mutated dictionary — incremental == full is exactly
+    the operator's correctness contract."""
+    from kgtm.transcripts import mutated_index_rows
+
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {mention_link_ctes(duckdb_index_values(mutated_index_rows()))}
+      SELECT conv_id, turn_idx, surface, is_linked, rung, ontology_iri,
+             canonical_path
+      FROM links
     """
 
 

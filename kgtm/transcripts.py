@@ -175,10 +175,21 @@ def ontology_snapshots_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(ontology_snapshot_rows(), ONTOLOGY_SNAPSHOTS_SCHEMA)
 
 
-def duckdb_index_values() -> str:
+def mutated_index_rows() -> list[tuple[str, str, str, str]]:
+    """The canonical dictionary-change scenario shared by the index_diff and
+    incremental_relink gate queries: /click removed, /newone added."""
+    rows = [r for r in ontology_index_rows() if not r[0].endswith("/click")]
+    rows.append((f"http://{DICT_HOST}/newone", DICT_HOST, "/newone", "term"))
+    return rows
+
+
+def duckdb_index_values(
+    rows: list[tuple[str, str, str, str]] | None = None,
+) -> str:
     """(VALUES ...) AS ontology_index(ontology_iri, host, path, iri_type)."""
     vals = ",\n      ".join(
-        f"('{iri}', '{h}', '{p}', '{t}')" for iri, h, p, t in ontology_index_rows()
+        f"('{iri}', '{h}', '{p}', '{t}')"
+        for iri, h, p, t in (rows if rows is not None else ontology_index_rows())
     )
     return f"(VALUES\n      {vals}) AS ontology_index(ontology_iri, host, path, iri_type)"
 

@@ -182,6 +182,42 @@ def test_multi_iri_oracle_parity(spark):
 
 
 # ---------------------------------------------------------------------------
+# incremental re-link (dictionary-delta)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_relink_equals_full(spark, events):
+    from kgtm.extract import extract_mentions
+    from kgtm.link import incremental_relink, link_mentions
+    from kgtm.transcripts import (
+        events_to_transcripts,
+        mutated_index_rows,
+        ontology_index_df,
+    )
+
+    m = extract_mentions(events_to_transcripts(events))
+    old = ontology_index_df(spark)
+    new = spark.createDataFrame(mutated_index_rows(), old.schema)
+    linked_old = link_mentions(m, old)
+
+    inc = incremental_relink(linked_old, old, new)
+    full = link_mentions(m, new)
+    cols = ["mention_id", "surface", "is_linked", "rung", "ontology_iri", "canonical_path"]
+    got = sorted(map(tuple, inc.select(*cols).collect()))
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert got == want
+
+    # the delta actually flipped something: /click mentions lost their link
+    by_surface = {r.surface: r for r in inc.collect()}
+    clicks = [r for s, r in by_surface.items() if "/click" in s]
+    assert clicks and all(not r.is_linked for r in clicks)
+    views = [
+        r for s, r in by_surface.items() if s.endswith("onto.example.org/view")
+    ]
+    assert views and all(r.is_linked for r in views)
+
+
+# ---------------------------------------------------------------------------
 # vectorized winnowing: parity with the per-character rolling-hash reference
 # ---------------------------------------------------------------------------
 
