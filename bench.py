@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "turn_assembly",
     "ladder_linking",
     "resolution_outcomes",
+    "failover_resolution",
+    "incremental_relink",
     "dedup_exact",
     "ngram_jaccard",
     "minhash_lsh",

@@ -93,42 +93,44 @@ def build_triples(
     # design, so the checkpoint is a tiny job.
     surface_dim = surface_dim.localCheckpoint(eager=True)
 
-    subj_dim = F.broadcast(
-        surface_dim.select(
-            F.col("surface").alias("s_surface"),
-            F.col("ontology_iri").alias("subj_ontology_iri"),
-            F.col("snapshot_iri").alias("subj_snapshot_iri"),
-            F.col("source").alias("subj_source"),
-        )
-    )
-    obj_dim = F.broadcast(
-        surface_dim.select(
-            F.col("surface").alias("o_surface"),
-            F.col("ontology_iri").alias("obj_ontology_iri"),
-            F.col("snapshot_iri").alias("obj_snapshot_iri"),
-            F.col("source").alias("obj_source"),
-        )
-    )
+    # ONE broadcast for BOTH the subj and obj joins: the two join subtrees
+    # are DataFrame aliases over the SAME checkpointed dim with the SAME join
+    # key (surface), so they canonicalize identically and the second
+    # BroadcastExchange plans as ReusedExchange — the dim is built and
+    # shipped once, not twice (asserted by tests/test_plans_and_closure).
+    dim = F.broadcast(surface_dim)
 
-    out = triples.join(
-        subj_dim, triples["subj"] == subj_dim["s_surface"], "left"
-    ).join(obj_dim, triples["obj"] == obj_dim["o_surface"], "left")
+    out = (
+        triples.alias("t")
+        .join(
+            dim.alias("d_subj"),
+            F.col("t.subj") == F.col("d_subj.surface"),
+            "left",
+        )
+        .join(
+            dim.alias("d_obj"),
+            F.col("t.obj") == F.col("d_obj.surface"),
+            "left",
+        )
+    )
     if config.restricted_access:
         # Deny gate (proxy_logic.py:39-44): the reference denies on DICTIONARY
         # MEMBERSHIP only — linkage, not snapshot presence (a linked ontology
         # with no archived snapshot is a 404, not a 403, and under
         # onto_version='original' snapshot_iri is always NULL by design).
-        # obj_source IS NULL ⇔ the http object never linked (surface_dim is
-        # filtered to is_linked rows).
+        # obj-side source IS NULL ⇔ the http object never linked (surface_dim
+        # is filtered to is_linked rows).
         out = out.filter(
-            ~(F.col("obj").startswith("http") & F.col("obj_source").isNull())
+            ~(F.col("t.obj").startswith("http") & F.col("d_obj.source").isNull())
         )
     return out.select(
         "conv_id",
-        F.coalesce("subj_ontology_iri", "subj").alias("subj"),
+        F.coalesce(F.col("d_subj.ontology_iri"), F.col("t.subj")).alias("subj"),
         "pred",
-        F.coalesce("obj_ontology_iri", "obj").alias("obj"),
-        "subj_snapshot_iri",
-        "obj_snapshot_iri",
-        F.coalesce("obj_source", "subj_source", F.lit("unlinked")).alias("source"),
+        F.coalesce(F.col("d_obj.ontology_iri"), F.col("t.obj")).alias("obj"),
+        F.col("d_subj.snapshot_iri").alias("subj_snapshot_iri"),
+        F.col("d_obj.snapshot_iri").alias("obj_snapshot_iri"),
+        F.coalesce(
+            F.col("d_obj.source"), F.col("d_subj.source"), F.lit("unlinked")
+        ).alias("source"),
     )

@@ -43,6 +43,25 @@ def test_flagship_resolution_joins_broadcast(spark, events):
     assert plan.count("BroadcastHashJoin") >= 2  # subj + obj dim joins
 
 
+def test_flagship_dim_broadcast_built_once(spark, events):
+    """The subj and obj dim joins probe the SAME broadcast: after execution
+    the final adaptive plan must contain a ReusedExchange for the surface
+    dim (it is built and shipped once, not per-join)."""
+    tr = events_to_transcripts(events)
+    out = build_triples(
+        tr,
+        ontology_index_df(spark),
+        ontology_snapshots_df(spark),
+        PipelineConfig(persist_intermediate=False),
+    )
+    out.collect()  # AQE finalizes (and reuses) the broadcast stages
+    final = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
+
+
 def test_parquet_scan_prunes_columns(spark):
     """Column pruning must reach the scan: a 2-column projection over events
     reads 2 columns (ReadSchema), not 6."""
