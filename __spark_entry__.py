@@ -543,7 +543,10 @@ def _q_incremental_relink(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
     m = extract_mentions(tr)
     old = ontology_index_df(spark)
-    linked = link_mentions(m, old)
+    # the operator's contract takes the EXISTING linkage table (materialized
+    # on disk in real usage) — checkpoint the inline derivation so the three
+    # consumers inside incremental_relink scan it instead of rebuilding it
+    linked = link_mentions(m, old).localCheckpoint(eager=True)
     out = incremental_relink(linked, old, _new_index(spark))
     return out.select(
         "conv_id", "turn_idx", "surface", "is_linked", "rung",

@@ -249,11 +249,18 @@ def incremental_relink(
         .join(F.broadcast(changed.select("host").distinct()), "host", "left_semi")
         .select("mention_id")
     )
+    # Eager checkpoint: affected_ids feeds BOTH the semi-join (re-link slice)
+    # and the anti-join (untouched slice); without it each consumer re-runs
+    # the candidate explode over the full linkage table. The set is bounded
+    # by the delta's fan-in (tiny next to |linked|), so the checkpoint job is
+    # cheap. `linked` itself should be a materialized table (it is the
+    # existing linkage output) — this operator scans it, it does not rebuild it.
     affected_ids = (
         cands.join(changed, ["host", "cand_path"], "left_semi")
         .select("mention_id")
         .unionByName(pathless_affected)
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     mention_cols = ["mention_id", "conv_id", "turn_idx", "surface", "host", "path"]
