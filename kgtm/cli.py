@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
         ],
     )
     p.add_argument("--timestamp", type=parse_stamp, default=None)
+    p.add_argument(
+        "--live-legs",
+        default=None,
+        help="parquet (surface, live_status, live_content_type, accept_header)"
+        " — required for originalFailoverLiveLatest",
+    )
     p.add_argument("--restricted-access", action="store_true")
     p.add_argument("--checkpoint-dir", default=None, help="enable per-bucket resume")
     p.add_argument("--n-buckets", type=int, default=32)
@@ -66,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.onto_version == "timestampArchived" and args.timestamp is None:
         print("error: --timestamp is required for timestampArchived", file=sys.stderr)
+        return 2
+    if args.onto_version == "originalFailoverLiveLatest" and args.live_legs is None:
+        print(
+            "error: --live-legs is required for originalFailoverLiveLatest",
+            file=sys.stderr,
+        )
         return 2
 
     from kgtm.checkpoints import run_with_checkpoints
@@ -83,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
         onto_version=args.onto_version,
         pin_ts=args.timestamp,
         restricted_access=args.restricted_access,
+        live_legs=(
+            spark.read.parquet(args.live_legs) if args.live_legs else None
+        ),
     )
 
     mc = MetricsCollector()

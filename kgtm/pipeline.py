@@ -24,7 +24,15 @@ from kgtm.resolve import resolve_links
 @dataclass
 class PipelineConfig:
     """Job config — the batch analog of the reference Config dataclass
-    (/root/reference/ontologytimemachine/utils/config.py:88-101)."""
+    (/root/reference/ontologytimemachine/utils/config.py:88-101).
+
+    ``live_legs``: required for onto_version='originalFailoverLiveLatest' —
+    a broadcast-sized DataFrame (surface, live_status, live_content_type,
+    accept_header) recording each surface's live-fetch outcome; the failover
+    gate (proxy_logic.py:209-238) decides live-vs-archived per surface from
+    it. Batch jobs have no live network leg, so this table is an input, not
+    something the pipeline can invent.
+    """
 
     onto_version: str = "latestArchived"
     pin_ts: dt.datetime | None = None
@@ -34,6 +42,7 @@ class PipelineConfig:
     patch_accept_upstream: bool = False
     n_salt: int = 16
     persist_intermediate: bool = True
+    live_legs: DataFrame | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -80,6 +89,17 @@ def build_triples(
         .select("surface", *parse_iri_cols("surface"))
     )
     linked = link_surfaces(surfaces, ontology_index)
+    if config.onto_version == "originalFailoverLiveLatest":
+        if config.live_legs is None:
+            raise ValueError(
+                "originalFailoverLiveLatest needs PipelineConfig.live_legs: a "
+                "(surface, live_status, live_content_type, accept_header) "
+                "table of live-fetch outcomes — batch has no network leg to "
+                "probe (failover gate: proxy_logic.py:209-238)"
+            )
+        # left join: surfaces missing from live_legs get NULL live columns,
+        # i.e. "no original response" → archived fallback, like the reference
+        linked = linked.join(F.broadcast(config.live_legs), "surface", "left")
     resolved = resolve_links(
         linked, ontology_snapshots, config.onto_version, config.pin_ts
     )

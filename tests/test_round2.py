@@ -181,6 +181,46 @@ def test_multi_iri_oracle_parity(spark):
     assert len(got) == 5
 
 
+def test_build_triples_failover_with_live_legs(spark):
+    """End-to-end failover through the flagship: live-accepted objects keep
+    their ORIGINAL surface and no snapshot; rejected live legs fall back to
+    the latest archived snapshot."""
+    from kgtm.pipeline import PipelineConfig, build_triples
+
+    tr, idx, snaps = _mini_world(spark)
+    with pytest.raises(ValueError, match="live_legs"):
+        build_triples(
+            tr, idx, snaps,
+            PipelineConfig(
+                onto_version="originalFailoverLiveLatest",
+                persist_intermediate=False,
+            ),
+        )
+
+    live = spark.createDataFrame(
+        [
+            ("http://h/a", 200, "text/turtle", "text/turtle"),  # live accepted
+            ("http://h/nosnap", 500, "text/turtle", "text/turtle"),  # archived; none → not-found
+        ],
+        "surface string, live_status int, live_content_type string, accept_header string",
+    )
+    out = build_triples(
+        tr, idx, snaps,
+        PipelineConfig(
+            onto_version="originalFailoverLiveLatest",
+            live_legs=live,
+            persist_intermediate=False,
+        ),
+    ).collect()
+    by_obj = {r.obj: r for r in out}
+    assert by_obj["http://h/a"].source == "original"
+    assert by_obj["http://h/a"].obj_snapshot_iri is None
+    # linked but live-rejected and snapshotless → not-found outcome
+    assert by_obj["http://h/nosnap"].source == "not-found"
+    # outside the dictionary entirely → unlinked passthrough
+    assert by_obj["http://evil.example/x"].source == "unlinked"
+
+
 # ---------------------------------------------------------------------------
 # incremental re-link (dictionary-delta)
 # ---------------------------------------------------------------------------
