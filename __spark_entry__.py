@@ -202,6 +202,20 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=6)
 
 
+def _q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = n_centroids probes EVERY cell — the candidate set is
+    the full corpus, so the result must equal brute force exactly. Certifies
+    the whole IVF machinery (quantizer, cell join, scoring) is lossless;
+    the approximate entry (ann_ivf_topk) then only risks recall, not
+    correctness."""
+    from kgtm.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    return ivf_topk(
+        embs, embs.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=16
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.similarity import lsh_topk
 
@@ -608,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "embedding_neardup": _q_embedding_neardup,
         "media_meta": _q_media_meta,
         "frame_samples": _q_frame_samples,
@@ -655,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": oracles.q_quality_stats(),
         "token_counts": oracles.q_token_counts(),
         "ann_topk": oracles.q_ann_topk(5, 10),
+        "ann_ivf_exhaustive": oracles.q_ann_topk(5, 10),
         "embedding_neardup": oracles.q_embedding_neardup(0.5),
         "media_meta": oracles.q_media_meta(),
         "frame_samples": oracles.q_frame_samples(),

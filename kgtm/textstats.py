@@ -9,7 +9,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StringType
 
 STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "for", "on"]
 
@@ -163,4 +163,95 @@ def winnow_fingerprint_series(
 
 winnow_fingerprint_udf = F.pandas_udf(
     lambda texts: winnow_fingerprint_series(texts), LongType()
+)
+
+
+# ---------------------------------------------------------------------------
+# character-trigram Naive Bayes language ID (the stronger classifier;
+# lang_id_col above stays as the simple oracle-checked marker heuristic)
+# ---------------------------------------------------------------------------
+
+# Embedded training samples — a handful of generic sentences per language,
+# enough for hashed-trigram profiles to separate these four languages.
+LANG_SAMPLES: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the little children "
+        "were playing in the garden while their mother was reading a book "
+        "about the history of the world and everything that happened there "
+        "this is a very important thing for all of the people who want to "
+        "understand what they are doing with their lives and their work"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y los ninos "
+        "pequenos estaban jugando en el jardin mientras su madre leia un "
+        "libro sobre la historia del mundo y todo lo que sucedio alli esta "
+        "es una cosa muy importante para todas las personas que quieren "
+        "entender lo que estan haciendo con sus vidas y su trabajo"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund und die "
+        "kleinen kinder spielten im garten waehrend ihre mutter ein buch "
+        "ueber die geschichte der welt las und alles was dort geschah das "
+        "ist eine sehr wichtige sache fuer alle menschen die verstehen "
+        "wollen was sie mit ihrem leben und ihrer arbeit machen"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et les "
+        "petits enfants jouaient dans le jardin pendant que leur mere lisait "
+        "un livre sur l histoire du monde et tout ce qui s y est passe c est "
+        "une chose tres importante pour toutes les personnes qui veulent "
+        "comprendre ce qu elles font de leur vie et de leur travail"
+    ),
+}
+
+_NB_BUCKETS = 4096
+
+
+def _trigram_buckets(s: str) -> np.ndarray:
+    """Hashed char-trigram bucket ids of a normalized string (vectorized:
+    sliding byte windows · base powers, mod bucket count)."""
+    b = np.frombuffer(
+        (" " + " ".join(s.lower().split()) + " ").encode("utf-8", "ignore"),
+        dtype=np.uint8,
+    )
+    if len(b) < 3:
+        return np.empty(0, dtype=np.int64)
+    w = np.lib.stride_tricks.sliding_window_view(b, 3).astype(np.uint32)
+    h = w[:, 0] * np.uint32(65536) + w[:, 1] * np.uint32(256) + w[:, 2]
+    return (h % _NB_BUCKETS).astype(np.int64)
+
+
+def _nb_weights() -> tuple[list[str], np.ndarray]:
+    """log P(bucket | lang) with add-1 smoothing, shape (n_langs, buckets)."""
+    langs = sorted(LANG_SAMPLES)
+    W = np.zeros((len(langs), _NB_BUCKETS), dtype=np.float64)
+    for i, lang in enumerate(langs):
+        counts = np.bincount(_trigram_buckets(LANG_SAMPLES[lang]), minlength=_NB_BUCKETS)
+        W[i] = np.log((counts + 1) / (counts.sum() + _NB_BUCKETS))
+    return langs, W
+
+
+_NB_LANGS, _NB_W = _nb_weights()
+
+
+def lang_id_trigram_series(texts: pd.Series, min_trigrams: int = 3) -> pd.Series:
+    """Pure UDF body: hashed-trigram Naive Bayes language ID.
+
+    Per row the work is numpy-vectorized (byte windows → bucket ids → one
+    (n_langs × n_trigrams) weight gather + sum); ties break alphabetically
+    ('de' < 'en' < ...), texts with < min_trigrams trigrams are 'und'.
+    """
+
+    def lid(s: str) -> str:
+        buckets = _trigram_buckets(s) if s else np.empty(0, dtype=np.int64)
+        if len(buckets) < min_trigrams:
+            return "und"
+        scores = _NB_W[:, buckets].sum(axis=1)
+        return _NB_LANGS[int(np.argmax(scores))]  # argmax takes FIRST max → alpha tie-break
+
+    return texts.fillna("").map(lid)
+
+
+lang_id_trigram_udf = F.pandas_udf(
+    lambda texts: lang_id_trigram_series(texts), StringType()
 )

@@ -306,6 +306,28 @@ def test_winnow_vectorized_matches_rolling_reference():
     assert got == want
 
 
+def test_lang_id_trigram_on_held_out_sentences():
+    """The NB classifier must identify held-out sentences (none appear in
+    LANG_SAMPLES) — strictly stronger than the marker-word heuristic, which
+    scores 'und' on several of these."""
+    from kgtm.textstats import lang_id_trigram_series
+
+    cases = {
+        "the weather report said it would rain tomorrow afternoon": "en",
+        "my neighbour bought another second hand car last week": "en",
+        "la reunion de manana sera en la oficina central": "es",
+        "necesito comprar verduras frescas para la cena": "es",
+        "das wetter wird morgen wahrscheinlich besser werden": "de",
+        "ich moechte naechste woche nach berlin fahren": "de",
+        "la reunion de demain aura lieu au bureau principal": "fr",
+        "je voudrais acheter des legumes frais pour le diner": "fr",
+        "": "und",
+        "xy": "und",
+    }
+    got = lang_id_trigram_series(pd.Series(list(cases))).tolist()
+    assert got == list(cases.values()), dict(zip(cases, got))
+
+
 # ---------------------------------------------------------------------------
 # error truncation + mention id width
 # ---------------------------------------------------------------------------
