@@ -126,6 +126,12 @@ def ngram_jaccard_pairs(
         sh.select("id", F.explode_outer("sh").alias("sh_str"))
         .filter(F.col("sh_str").isNotNull())
         .select("id", F.xxhash64("sh_str").alias("shingle"))
+        # (id, shingle-hash) is consumed up to four times (hot-shingle DF,
+        # per-doc sizes, and BOTH sides of the self-join); without a
+        # checkpoint each consumer re-runs the split→grams→explode→hash
+        # pipeline over the full text corpus. Lazy: materializes on first
+        # use, then every consumer scans 16 bytes/row instead of re-deriving.
+        .localCheckpoint(eager=False)
     )
 
     pair_side = flat
