@@ -39,7 +39,11 @@ def read_transcript_stream(spark: SparkSession, in_dir: str) -> DataFrame:
 
 
 def streaming_resolution(
-    stream: DataFrame, ontology_index: DataFrame, snapshots: DataFrame
+    stream: DataFrame,
+    ontology_index: DataFrame,
+    snapshots: DataFrame,
+    mode: str = "latestArchived",
+    live_legs: DataFrame | None = None,
 ) -> DataFrame:
     """Stream of resolved mention rows.
 
@@ -48,7 +52,16 @@ def streaming_resolution(
     groupBy of the batch path IS one. The dictionary is collected driver-side
     (it is broadcast-sized by design) and folded into the plan; the snapshot
     dim stays a stream-static broadcast join (joins are append-safe).
+
+    mode='originalFailoverLiveLatest' additionally needs ``live_legs`` — a
+    STATIC (surface, live_status, live_content_type, accept_header) table of
+    live-fetch outcomes, stream-static broadcast-joined; the acceptance gate
+    (status ∈ passthrough whitelist ∧ content-type ∈ Accept mimes,
+    proxy_logic.py:209-238) is a stateless column expression, so the plan
+    stays append-safe.
     """
+    from kgtm.extract import mention_id_col
+
     index_rows = [
         (r.host, r.path, r.ontology_iri)
         for r in ontology_index.select("host", "path", "ontology_iri").collect()
@@ -62,7 +75,7 @@ def streaming_resolution(
         "conv_id",
         "turn_idx",
         "ts",
-        F.xxhash64("conv_id", "turn_idx", "pos", "surface").alias("mention_id"),
+        mention_id_col().alias("mention_id"),
         "surface",
         *parse_iri_cols("surface"),
     )
@@ -75,14 +88,35 @@ def streaming_resolution(
         link["rung"].alias("rung"),
     )
     dim = F.broadcast(latest_snapshots(snapshots))
-    return (
-        linked.join(dim, "ontology_iri", "left")
-        .withColumn(
-            "source",
-            F.when(~F.col("is_linked"), F.lit("unlinked"))
-            .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))
-            .otherwise(F.lit("archivo-latest")),
+    out = linked.join(dim, "ontology_iri", "left")
+    if mode == "originalFailoverLiveLatest":
+        if live_legs is None:
+            raise ValueError(
+                "originalFailoverLiveLatest needs a static live_legs table "
+                "(surface, live_status, live_content_type, accept_header)"
+            )
+        from kgtm.negotiate import live_acceptable_col
+
+        out = out.join(F.broadcast(live_legs), "surface", "left")
+        live_ok = F.coalesce(
+            live_acceptable_col("live_status", "live_content_type", "accept_header"),
+            F.lit(False),
         )
+        source = (
+            F.when(~F.col("is_linked"), F.lit("unlinked"))
+            .when(live_ok, F.lit("original"))
+            .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))
+            .otherwise(F.lit("archivo-latest"))
+        )
+        return out.withColumn(
+            "snapshot_iri",
+            F.when(~live_ok | ~F.col("is_linked"), F.col("snapshot_iri")),
+        ).withColumn("source", source)
+    return out.withColumn(
+        "source",
+        F.when(~F.col("is_linked"), F.lit("unlinked"))
+        .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))
+        .otherwise(F.lit("archivo-latest")),
     )
 
 

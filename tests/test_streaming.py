@@ -53,6 +53,52 @@ def test_stream_matches_batch_resolution(spark, events, stream_dirs):
     assert {(r.source, r["count"]) for r in g} == {(r.source, r["count"]) for r in b}
 
 
+def test_stream_failover_matches_batch(spark, events, stream_dirs):
+    """Failover in streaming: the live-legs static table gates live-vs-
+    archived per surface, and the per-source counts match the batch failover
+    resolution over the same input."""
+    in_dir, out_dir, ck_dir = stream_dirs
+    idx, snaps = ontology_index_df(spark), ontology_snapshots_df(spark)
+
+    tr = spark.read.parquet(in_dir)
+    surfaces = extract_mentions(tr).select("surface").distinct()
+    live = surfaces.select(
+        "surface",
+        # /view surfaces get an acceptable live leg; everything else fails over
+        F.when(F.col("surface").contains("/view"), F.lit(200))
+        .otherwise(F.lit(500))
+        .alias("live_status"),
+        F.lit("text/turtle; charset=utf-8").alias("live_content_type"),
+        F.lit("text/turtle").alias("accept_header"),
+    ).localCheckpoint(eager=True)
+
+    with pytest.raises(ValueError, match="live_legs"):
+        streaming_resolution(
+            read_transcript_stream(spark, in_dir), idx, snaps,
+            mode="originalFailoverLiveLatest",
+        )
+
+    resolved = streaming_resolution(
+        read_transcript_stream(spark, in_dir), idx, snaps,
+        mode="originalFailoverLiveLatest", live_legs=live,
+    )
+    run_stream_to_parquet(resolved, out_dir, ck_dir)
+    got = spark.read.parquet(out_dir)
+
+    batch = resolve_links(
+        link_mentions(extract_mentions(tr), idx).join(live, "surface", "left"),
+        snaps,
+        "originalFailoverLiveLatest",
+    )
+    g = {(r.source, r["count"]) for r in got.groupBy("source").count().collect()}
+    b = {(r.source, r["count"]) for r in batch.groupBy("source").count().collect()}
+    assert g == b
+    assert any(s == "original" for s, _ in g)  # live-accepted rows exist
+    assert any(s == "archivo-latest" for s, _ in g)  # fallback rows exist
+    # live-accepted rows carry no snapshot
+    assert got.filter((F.col("source") == "original") & F.col("snapshot_iri").isNotNull()).count() == 0
+
+
 def test_stream_exactly_once_on_rerun(spark, events, stream_dirs):
     in_dir, out_dir, ck_dir = stream_dirs
     idx, snaps = ontology_index_df(spark), ontology_snapshots_df(spark)
