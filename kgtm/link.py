@@ -230,10 +230,20 @@ def incremental_relink(
     Output schema == link_mentions' output; equality with a full re-link
     against new_index is the correctness contract (oracle-checked).
     """
-    old_keys = old_index.select("host", F.col("path").alias("cand_path"))
-    new_keys = new_index.select("host", F.col("path").alias("cand_path"))
+    # Diff FULL rows (host, path, ontology_iri), then project to keys: an
+    # entry re-pointed to a different ontology IRI keeps its (host, path) but
+    # still changes the linkage target, so it must flag its key as changed.
+    old_rows = old_index.select(
+        "host", F.col("path").alias("cand_path"), "ontology_iri"
+    )
+    new_rows = new_index.select(
+        "host", F.col("path").alias("cand_path"), "ontology_iri"
+    )
     changed = F.broadcast(
-        old_keys.exceptAll(new_keys).unionByName(new_keys.exceptAll(old_keys)).distinct()
+        old_rows.exceptAll(new_rows)
+        .unionByName(new_rows.exceptAll(old_rows))
+        .select("host", "cand_path")
+        .distinct()
     )
 
     cands = linked.select(

@@ -257,6 +257,34 @@ def test_incremental_relink_equals_full(spark, events):
     assert views and all(r.is_linked for r in views)
 
 
+def test_incremental_relink_detects_repointed_entry(spark, events):
+    """An index entry re-pointed to a DIFFERENT ontology IRI keeps its
+    (host, path) key — the delta detection must still flag it."""
+    from kgtm.extract import extract_mentions
+    from kgtm.link import incremental_relink, link_mentions
+    from kgtm.transcripts import events_to_transcripts, ontology_index_df
+
+    m = extract_mentions(events_to_transcripts(events))
+    old = ontology_index_df(spark)
+    new = old.withColumn(
+        "ontology_iri",
+        F.when(
+            F.col("path") == "/view", F.lit("http://onto.example.org/view-v2")
+        ).otherwise(F.col("ontology_iri")),
+    )
+    linked_old = link_mentions(m, old).localCheckpoint(eager=True)
+    inc = incremental_relink(linked_old, old, new)
+    full = link_mentions(m, new)
+    cols = ["mention_id", "is_linked", "ontology_iri"]
+    assert sorted(map(tuple, inc.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+    assert (
+        inc.filter(F.col("ontology_iri") == "http://onto.example.org/view-v2").count()
+        > 0
+    )
+
+
 # ---------------------------------------------------------------------------
 # vectorized winnowing: parity with the per-character rolling-hash reference
 # ---------------------------------------------------------------------------
