@@ -246,9 +246,17 @@ def minhash_lsh_pairs(
     sig_udf = F.pandas_udf(
         lambda s: minhash_signature_series(s, n_hashes), ArrayType(LongType())
     )
-    sigs = with_shingles(df, text_col, id_col, n).select(
-        "id", sig_udf(F.col("sh")).alias("sig")
-    ).localCheckpoint(eager=False)
+    # Drop empty-shingle docs BEFORE signing: their all-zero signatures would
+    # (a) falsely pair every such doc with every other at est_jaccard = 1.0
+    # (exact Jaccard of empty sets shares nothing), and (b) collapse them all
+    # into one quadratic hot bucket. Identical empty docs belong to
+    # exact_dedup, not near-dup search.
+    sigs = (
+        with_shingles(df, text_col, id_col, n)
+        .filter(F.size("sh") > 0)
+        .select("id", sig_udf(F.col("sh")).alias("sig"))
+        .localCheckpoint(eager=False)
+    )
 
     bands = sigs.select(
         "id",
@@ -353,9 +361,14 @@ def simhash_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     udf = F.pandas_udf(lambda s: simhash_series(s), LongType())
-    hashed = with_shingles(df, text_col, id_col, n).select(
-        "id", udf(F.col("sh")).alias("sim")
-    ).localCheckpoint(eager=False)
+    # Empty-shingle docs all hash to sim=0 — a single quadratic bucket of
+    # Hamming-0 "near-dups" that carry no signal (see minhash_lsh_pairs).
+    hashed = (
+        with_shingles(df, text_col, id_col, n)
+        .filter(F.size("sh") > 0)
+        .select("id", udf(F.col("sh")).alias("sim"))
+        .localCheckpoint(eager=False)
+    )
 
     chunks = hashed.select(
         "id",

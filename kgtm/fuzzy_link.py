@@ -74,11 +74,19 @@ def link_fuzzy(
     rows_per_band = n_hashes // n_bands
     sig = _signature_udf(n_hashes)
 
-    m = mentions.withColumn("_sh", char_ngrams_col(mention_col, n)).withColumn(
-        "_sig", sig(F.col("_sh"))
+    # Sub-n-gram-length strings have empty shingle sets: they can never reach
+    # any positive Jaccard threshold, and their all-zero signatures would
+    # collapse into one hot bucket — drop them from BOTH sides up front
+    # (mentions re-attach as unlinked via the final left join).
+    m = (
+        mentions.withColumn("_sh", char_ngrams_col(mention_col, n))
+        .filter(F.size("_sh") > 0)
+        .withColumn("_sig", sig(F.col("_sh")))
     )
-    l = labels.withColumn("_lsh", char_ngrams_col(label_col, n)).withColumn(
-        "_lsig", sig(F.col("_lsh"))
+    l = (
+        labels.withColumn("_lsh", char_ngrams_col(label_col, n))
+        .filter(F.size("_lsh") > 0)
+        .withColumn("_lsig", sig(F.col("_lsh")))
     )
 
     m_keys = m.select(

@@ -334,6 +334,33 @@ def test_winnow_vectorized_matches_rolling_reference():
     assert got == want
 
 
+def test_empty_docs_never_pair_in_sketch_dedup(spark):
+    """Empty/too-short docs have empty shingle sets: exact Jaccard pairs them
+    with nothing, so MinHash/SimHash must not either (their all-zero
+    signatures used to pair every empty doc with every other at est=1.0 and
+    form one quadratic hot bucket)."""
+    from kgtm.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+    from kgtm.fuzzy_link import link_fuzzy
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, "ab"), (3, None),
+         (4, "a real document body with enough words to shingle properly"),
+         (5, "a real document body with enough words to shingle nicely")],
+        "doc_id long, text string",
+    )
+    assert {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.2).collect()} == {(4, 5)}
+    assert {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=8).collect()} == {(4, 5)}
+    assert {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()} == {(4, 5)}
+
+    mentions = spark.createDataFrame([("",), ("ab",), ("click",)], "surface string")
+    labels = spark.createDataFrame(
+        [("click", "http://h/click"), ("x", "http://h/x")], "label string, ontology_iri string"
+    )
+    out = {r.surface: r for r in link_fuzzy(mentions, labels, threshold=0.3).collect()}
+    assert out["click"].is_linked
+    assert not out[""].is_linked and not out["ab"].is_linked
+
+
 def test_lang_id_trigram_on_held_out_sentences():
     """The NB classifier must identify held-out sentences (none appear in
     LANG_SAMPLES) — strictly stronger than the marker-word heuristic, which
