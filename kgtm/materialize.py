@@ -41,7 +41,15 @@ def write_triples(
     """
     spark = triples.sparkSession
     commit_id = uuid.uuid4().hex[:12]
-    data_path = os.path.join(out_dir, "triples")
+    # Iceberg-style commit protocol on plain parquet: each commit writes into
+    # its OWN directory (triples/commit=<id>/...), and the commit becomes
+    # visible only when its manifest lands in _commits/. Readers resolve the
+    # manifest list first, so (a) a crashed half-written commit is invisible
+    # (snapshot isolation — the writeTo/catalog equivalent of Iceberg's
+    # atomic metadata swap), and (b) `read_triples(as_of=seq)` time-travels
+    # to any earlier commit — the output-store mirror of the reference's
+    # versioned-ontology time machine.
+    data_path = os.path.join(out_dir, "triples", f"commit={commit_id}")
 
     df = triples
     if n_output_partitions:
@@ -54,21 +62,24 @@ def write_triples(
                 *[F.col(c) for c in partition_by]
             ).createOrReplace()
         else:
-            df.write.mode("append").partitionBy(*partition_by).parquet(data_path)
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(data_path)
         rec["n_rows_out"] = None  # avoid a second full count pass
 
     # metrics + commit manifest beside the data
     mc.to_df(spark).write.mode("append").parquet(
         os.path.join(out_dir, "metrics", f"commit={commit_id}")
     )
+    commits_dir = os.path.join(out_dir, "_commits")
+    os.makedirs(commits_dir, exist_ok=True)
+    seq = len([f for f in os.listdir(commits_dir) if f.endswith(".json")])
     commit = {
         "commit_id": commit_id,
+        "seq": seq,
         "format": fmt,
         "partition_by": list(partition_by),
         "stages": [r["stage"] for r in mc.rows],
     }
-    os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
-    with open(os.path.join(out_dir, "_commits", f"{commit_id}.json"), "w") as f:
+    with open(os.path.join(commits_dir, f"{commit_id}.json"), "w") as f:
         json.dump(commit, f)
     return commit
 
@@ -95,8 +106,44 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "triples"))
+def list_commits(out_dir: str) -> list[dict]:
+    """Committed manifests, ordered by seq (the visible snapshot history)."""
+    commits_dir = os.path.join(out_dir, "_commits")
+    if not os.path.isdir(commits_dir):
+        return []
+    commits = []
+    for name in os.listdir(commits_dir):
+        if name.endswith(".json"):
+            with open(os.path.join(commits_dir, name)) as f:
+                commits.append(json.load(f))
+    return sorted(commits, key=lambda c: c.get("seq", 0))
+
+
+def read_triples(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """Manifest-gated read: only COMMITTED data directories are scanned
+    (half-written commits without a manifest are invisible); ``as_of`` reads
+    the store as of that commit seq — time travel over the triple store.
+    """
+    commits = list_commits(out_dir)
+    if as_of is not None:
+        commits = [c for c in commits if c.get("seq", 0) <= as_of]
+    paths = [
+        os.path.join(out_dir, "triples", f"commit={c['commit_id']}")
+        for c in commits
+    ]
+    existing = [p for p in paths if os.path.isdir(p)]
+    if not existing:
+        # no committed data → empty frame with the store path's layout is
+        # unknowable; raise like a missing-table read would
+        raise FileNotFoundError(f"no committed triples under {out_dir}")
+    # basePath keeps partition discovery rooted at the store, so both the
+    # commit= and source= partition columns survive into the schema
+    return (
+        spark.read.option("basePath", os.path.join(out_dir, "triples"))
+        .parquet(*existing)
+    )
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

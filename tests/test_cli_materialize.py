@@ -53,6 +53,30 @@ def test_write_and_read_triples(spark, events, tmp_path):
     assert m.filter(F.col("stage") == "materialize").count() == 1
 
 
+def test_commit_snapshot_isolation_and_time_travel(spark, events, tmp_path):
+    """Manifest-gated reads: a second commit appends; as_of reads the store
+    at an earlier seq; an unmanifested (crashed) data dir is invisible."""
+    from kgtm.materialize import list_commits
+
+    store = str(tmp_path / "store")
+    tr = events_to_transcripts(events)
+    triples = build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
+    n = triples.count()
+
+    c1 = write_triples(triples, store)
+    c2 = write_triples(triples, store)
+    assert [c["seq"] for c in list_commits(store)] == [0, 1]
+    assert read_triples(spark, store).count() == 2 * n
+    assert read_triples(spark, store, as_of=c1["seq"]).count() == n
+    assert read_triples(spark, store, as_of=c2["seq"]).count() == 2 * n
+
+    # a half-written commit (data dir, NO manifest) must stay invisible
+    crashed = Path(store) / "triples" / "commit=deadbeef0000"
+    crashed.mkdir(parents=True)
+    triples.limit(5).write.mode("overwrite").parquet(str(crashed / "source=crashed"))
+    assert read_triples(spark, store).count() == 2 * n
+
+
 def test_cli_end_to_end_subprocess(tmp_path):
     """Drive the real CLI as spark-submit would (fresh python == fresh JVM)."""
     corpus = tmp_path / "corpus"
