@@ -210,62 +210,96 @@ def link_surfaces(surfaces: DataFrame, index: DataFrame) -> DataFrame:
 
 
 def incremental_relink(
-    linked: DataFrame, old_index: DataFrame, new_index: DataFrame
+    linked: DataFrame,
+    old_index: DataFrame,
+    new_index: DataFrame,
+    max_delta_keys: int = 100_000,
 ) -> DataFrame:
     """Re-link ONLY the mentions affected by a dictionary change.
 
     The scale story behind kgtm.graph.index_diff: when the ontology index
     changes (the A1 change-detection semantics, download_archivo_urls.py:
     41-46), the reference reloads everything; at 10^12 mentions a full
-    re-link re-scans the world for a dictionary delta of a few rows. Instead:
+    re-link re-scans the world for a dictionary delta of a few rows. Here:
 
-      1. changed keys = (host, path) symmetric difference of the two index
-         snapshots — broadcast-sized by construction (it's a delta);
-      2. affected mentions = semi-join of each mention's ≤6 ladder candidate
-         keys against the changed keys (broadcast probe, no shuffle of the
-         mention side);
-      3. re-run the ladder on the affected slice against the NEW index;
-         everything else keeps its old linkage row untouched.
+      1. changed keys = symmetric difference of the two index snapshots over
+         FULL rows (host, path, ontology_iri) — a re-pointed entry keeps its
+         key but changes the linkage target, so it still flags — projected
+         to (host, path). A delta is broadcast-sized by definition, so the
+         keys fold into the plan as a LITERAL array;
+      2. affected = a pure codegen predicate: any of the mention's ≤6 ladder
+         candidate keys (or its host, for path-less mentions) is in the
+         changed set. The corpus split is a FILTER — zero shuffle, one scan;
+      3. the affected slice re-runs the ladder against the NEW index (its
+         min-rung groupBy is the only exchange, sized by |affected|);
+         everything else passes through untouched.
+
+    Deltas larger than ``max_delta_keys`` raise: at that size the "delta" is
+    a reindex and a full re-link is the honest plan. ``linked`` should be a
+    materialized table (it IS the existing linkage output) — this operator
+    scans it, it does not rebuild it.
 
     Output schema == link_mentions' output; equality with a full re-link
     against new_index is the correctness contract (oracle-checked).
     """
-    # Diff FULL rows (host, path, ontology_iri), then project to keys: an
-    # entry re-pointed to a different ontology IRI keeps its (host, path) but
-    # still changes the linkage target, so it must flag its key as changed.
     old_rows = old_index.select(
         "host", F.col("path").alias("cand_path"), "ontology_iri"
     )
     new_rows = new_index.select(
         "host", F.col("path").alias("cand_path"), "ontology_iri"
     )
-    changed = F.broadcast(
+    changed_rows = (
         old_rows.exceptAll(new_rows)
         .unionByName(new_rows.exceptAll(old_rows))
         .select("host", "cand_path")
         .distinct()
+        .limit(max_delta_keys + 1)
+        .collect()
     )
+    if len(changed_rows) > max_delta_keys:
+        raise ValueError(
+            f"dictionary delta exceeds {max_delta_keys} keys — that is a "
+            "reindex, not a delta; run a full link_mentions instead"
+        )
+    if not changed_rows:
+        return linked  # no delta → nothing to do
+    changed = F.broadcast(
+        linked.sparkSession.createDataFrame(
+            [(r.host, r.cand_path) for r in changed_rows],
+            "host string, cand_path string",
+        )
+    )
+    changed_hosts = F.broadcast(changed.select("host").distinct())
 
-    cands = linked.select(
-        "mention_id",
-        "host",
-        F.explode(candidate_paths_col("path")).alias("cand"),
-    ).select("mention_id", "host", F.col("cand.cand_path").alias("cand_path"))
+    # Detection pass: host-gate first (a mention on an unchanged host cannot
+    # match a changed key — with real many-host dictionaries this prunes
+    # almost everything before any candidate work), then explode each
+    # survivor's ≤6 ladder candidates (the Generate barrier evaluates the
+    # split ONCE per row — the same Catalyst staging lesson as kgtm.dedup)
+    # and broadcast-semi-join the changed keys.
+    cands = (
+        linked.join(changed_hosts, "host", "left_semi")
+        .select(
+            "mention_id",
+            "host",
+            F.explode(candidate_paths_col("path")).alias("cand"),
+        )
+        .select("mention_id", "host", F.col("cand.cand_path").alias("cand_path"))
+    )
     # Path-less mentions match on host alone (proxy_logic.py:100-101): any
-    # change within their host can flip the host-only membership, so flag
-    # them by host, not by candidate key.
+    # change within their host can flip the host-only membership.
     pathless_affected = (
         linked.filter(F.col("path").isNull() | (F.col("path") == ""))
-        .join(F.broadcast(changed.select("host").distinct()), "host", "left_semi")
+        .join(changed_hosts, "host", "left_semi")
         .select("mention_id")
     )
-    # Eager checkpoint: affected_ids feeds BOTH the semi-join (re-link slice)
-    # and the anti-join (untouched slice); without it each consumer re-runs
-    # the candidate explode over the full linkage table. The set is bounded
-    # by the delta's fan-in (tiny next to |linked|), so the checkpoint job is
-    # cheap. `linked` itself should be a materialized table (it is the
-    # existing linkage output) — this operator scans it, it does not rebuild it.
-    affected_ids = (
+    # Eager checkpoint + EXPLICIT broadcast: the id set feeds both the
+    # re-link semi-join and the untouched anti-join; broadcasting it keeps
+    # both joins shuffle-free scans of `linked` (an auto-broadcast would bail
+    # past the size threshold and silently shuffle the full corpus twice).
+    # The set is bounded by the delta's fan-in — for deltas past broadcast
+    # scale a full re-link is the honest plan anyway (see max_delta_keys).
+    affected_ids = F.broadcast(
         cands.join(changed, ["host", "cand_path"], "left_semi")
         .select("mention_id")
         .unionByName(pathless_affected)
@@ -274,10 +308,10 @@ def incremental_relink(
     )
 
     mention_cols = ["mention_id", "conv_id", "turn_idx", "surface", "host", "path"]
-    affected = linked.join(affected_ids, "mention_id", "left_semi").select(
-        *mention_cols
+    refreshed = link_mentions(
+        linked.join(affected_ids, "mention_id", "left_semi").select(*mention_cols),
+        new_index,
     )
-    refreshed = link_mentions(affected, new_index)
     untouched = linked.join(affected_ids, "mention_id", "left_anti")
     return untouched.select(*refreshed.columns).unionByName(refreshed)
 
