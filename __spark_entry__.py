@@ -526,6 +526,27 @@ def _q_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_degrees(canon)
 
 
+def _q_adjacency_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject capped adjacency over the flagship triples, flattened to
+    'pred|obj' strings joined with ';' so the value-hash comparison is a
+    plain string column on both sides."""
+    from kgtm.graph import adjacency_lists
+
+    triples = _q_flagship_triples(spark, sf_dir).select("conv_id", "subj", "pred", "obj")
+    adj = adjacency_lists(triples, max_neighbors=100)
+    return adj.select(
+        "subj",
+        F.array_join(
+            F.transform(
+                "neighbors", lambda x: F.concat(x["pred"], F.lit("|"), x["obj"])
+            ),
+            ";",
+        ).alias("neighbors_str"),
+        "degree",
+        "truncated",
+    )
+
+
 def _q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.graph import mention_contexts
 
@@ -607,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_per_row": _q_asof_per_row,
         "entity_degrees": _q_entity_degrees,
         "mention_contexts": _q_mention_contexts,
+        "adjacency_lists": _q_adjacency_lists,
         "index_diff": _q_index_diff,
         "incremental_relink": _q_incremental_relink,
         "value_percentiles": _q_value_percentiles,
@@ -658,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_entities": oracles.q_canonical_entities(),
         "entity_degrees": oracles.q_entity_degrees(),
         "mention_contexts": oracles.q_mention_contexts(),
+        "adjacency_lists": oracles.q_adjacency_lists(),
         "index_diff": """
           SELECT 'removed' AS change, 'http://onto.example.org/click' AS ontology_iri
           UNION ALL

@@ -851,6 +851,28 @@ def q_fuzzy_linking() -> str:
     """
 
 
+def q_adjacency_lists(max_neighbors: int = 100) -> str:
+    """Twin of graph.adjacency_lists over the flagship triples, flattened to
+    'pred|obj' strings. ORDER BY (pred, obj) mirrors Spark's struct sort
+    (field-wise); the fixed SVO verb lexicon has no prefix pairs, so the
+    flattened ordering is identical."""
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES},
+      t AS (
+        SELECT l.conv_id, 'agent' AS subj, 'uses' AS pred,
+               coalesce(l.ontology_iri, l.surface) AS obj
+        FROM links l
+      )
+      SELECT subj,
+             array_to_string(
+               list_slice(list(pred || '|' || obj ORDER BY pred, obj),
+                          1, {max_neighbors}), ';') AS neighbors_str,
+             count(*) AS degree,
+             count(*) > {max_neighbors} AS truncated
+      FROM t GROUP BY subj
+    """
+
+
 def q_mention_contexts() -> str:
     return f"""
       WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES},
