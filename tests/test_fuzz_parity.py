@@ -74,6 +74,67 @@ def test_fuzz_ladder_spark_vs_pure(spark):
         ), iri
 
 
+def test_fuzz_incremental_relink_equals_full(spark):
+    """Random dictionaries + random deltas (adds, removes, re-points):
+    incremental_relink over the old linkage must equal a full re-link
+    against the new dictionary, row for row."""
+    from kgtm.link import incremental_relink
+
+    rng = random.Random(90909)
+
+    def rand_seg():
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(1, 4)))
+
+    hosts = [f"h{i}.org" for i in range(4)]
+    for trial in range(3):
+        dict_rows = {}
+        for _ in range(25):
+            h = rng.choice(hosts)
+            p = "/" + "/".join(rand_seg() for _ in range(rng.randint(1, 3)))
+            if rng.random() < 0.3:
+                p += "/"
+            dict_rows[(h, p)] = f"http://{h}{p}"
+        old_rows = [(iri, h, p, "term") for (h, p), iri in dict_rows.items()]
+
+        # mutate: drop some, add some, re-point some
+        new_map = dict(dict_rows)
+        keys = sorted(new_map)
+        for k in rng.sample(keys, k=min(4, len(keys))):
+            op = rng.random()
+            if op < 0.4:
+                del new_map[k]
+            elif op < 0.7:
+                new_map[k] = new_map[k] + "-v2"  # re-point, same key
+        for _ in range(3):
+            h = rng.choice(hosts)
+            p = "/" + rand_seg() + "/" + rand_seg()
+            new_map[(h, p)] = f"http://{h}{p}"
+        new_rows = [(iri, h, p, "term") for (h, p), iri in new_map.items()]
+
+        iris = set()
+        for i in range(120):
+            h, p = rng.choice(sorted(set(dict_rows) | set(new_map)))
+            p = p + rng.choice(["", "/", f"/{rand_seg()}", f"#f{i}"])
+            iris.add(f"{rng.choice(['http', 'https'])}://{h}{p}")
+        m = spark.createDataFrame(
+            [(i,) for i in sorted(iris)], "surface string"
+        ).select(
+            F.lit("c").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.xxhash64("surface").alias("mention_id"),
+            "surface",
+            *parse_iri_cols("surface"),
+        )
+
+        old = spark.createDataFrame(old_rows, ONTOLOGY_INDEX_SCHEMA)
+        new = spark.createDataFrame(new_rows, ONTOLOGY_INDEX_SCHEMA)
+        linked_old = link_mentions(m, old).localCheckpoint(eager=True)
+        cols = ["mention_id", "is_linked", "ontology_iri", "canonical_path", "rung"]
+        inc = sorted(map(tuple, incremental_relink(linked_old, old, new).select(*cols).collect()))
+        full = sorted(map(tuple, link_mentions(m, new).select(*cols).collect()))
+        assert inc == full, f"trial {trial}"
+
+
 def test_fuzz_negotiation_spark_vs_pure(spark):
     rng = random.Random(777)
     mimes = [
