@@ -23,6 +23,12 @@ __all__ = [
     "get_spark",
     "generate",
     "SynthConfig",
+    "incremental_relink",
+    "link_mentions",
+    "resolve_links",
+    "write_triples",
+    "read_triples",
+    "list_commits",
 ]
 
 
@@ -39,4 +45,16 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm import synth
 
         return getattr(synth, name)
+    if name in ("incremental_relink", "link_mentions"):
+        from kgtm import link
+
+        return getattr(link, name)
+    if name == "resolve_links":
+        from kgtm.resolve import resolve_links
+
+        return resolve_links
+    if name in ("write_triples", "read_triples", "list_commits"):
+        from kgtm import materialize
+
+        return getattr(materialize, name)
     raise AttributeError(name)

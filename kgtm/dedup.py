@@ -216,10 +216,14 @@ def minhash_signature_series(
     b = rng.integers(0, 1 << 31, size=n_hashes, dtype=np.uint64)
     p = np.uint64(_MERSENNE)
 
-    def sig(sh) -> list[int]:
+    def sig(sh) -> list[int] | None:
         # Arrow delivers list columns as numpy arrays — no bool() on them.
+        # Empty shingles → NULL (not a constant signature): a constant would
+        # falsely band every empty doc together, and NULL lets callers drop
+        # them with a cheap column filter instead of re-evaluating the gram
+        # expression (see ngram pitfalls above).
         if sh is None or len(sh) == 0:
-            return [0] * n_hashes
+            return None
         x = _hash_shingles(sh)
         m = (a[:, None] * x[None, :] + b[:, None]) % p
         return m.min(axis=1).astype(np.int64).tolist()
@@ -246,17 +250,17 @@ def minhash_lsh_pairs(
     sig_udf = F.pandas_udf(
         lambda s: minhash_signature_series(s, n_hashes), ArrayType(LongType())
     )
-    # Drop empty-shingle docs BEFORE signing: their all-zero signatures would
-    # (a) falsely pair every such doc with every other at est_jaccard = 1.0
-    # (exact Jaccard of empty sets shares nothing), and (b) collapse them all
-    # into one quadratic hot bucket. Identical empty docs belong to
-    # exact_dedup, not near-dup search.
-    sigs = (
-        with_shingles(df, text_col, id_col, n)
-        .filter(F.size("sh") > 0)
-        .select("id", sig_udf(F.col("sh")).alias("sig"))
-        .localCheckpoint(eager=False)
-    )
+    # Empty-shingle docs get a NULL signature and must not reach banding:
+    # xxhash64 over a NULL slice is a constant (seed hash), so they would all
+    # collide into one quadratic hot bucket (their pairs are later killed by
+    # the NULL est filter, but the candidate blow-up is the real damage).
+    # The isNotNull filter sits AFTER the checkpoint on purpose: placed
+    # before it, Catalyst evaluates the Python UDF twice (filter + project),
+    # and filtering on size(sh) instead re-inlines the gram expression —
+    # both measured 3-5x slower at sf0.1.
+    sigs = with_shingles(df, text_col, id_col, n).select(
+        "id", sig_udf(F.col("sh")).alias("sig")
+    ).localCheckpoint(eager=False).filter(F.col("sig").isNotNull())
 
     bands = sigs.select(
         "id",
@@ -331,9 +335,10 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id")
 def simhash_series(shingle_lists: pd.Series, bits: int = 64) -> pd.Series:
     """Pure UDF body: shingles → 64-bit SimHash (as signed int64)."""
 
-    def sh(tokens) -> int:
+    def sh(tokens) -> int | None:
+        # empty → NULL, same contract as minhash_signature_series
         if tokens is None or len(tokens) == 0:
-            return 0
+            return None
         h = _hash_shingles(tokens)
         cols = ((h[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
         v = np.where(cols.sum(axis=0) * 2 >= len(tokens), 1, 0)
@@ -361,13 +366,16 @@ def simhash_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     udf = F.pandas_udf(lambda s: simhash_series(s), LongType())
-    # Empty-shingle docs all hash to sim=0 — a single quadratic bucket of
-    # Hamming-0 "near-dups" that carry no signal (see minhash_lsh_pairs).
+    # Empty-shingle docs get a NULL simhash; their chunk values are NULL and
+    # an equi-join key of NULL matches nothing, so they self-eliminate from
+    # candidate generation. The post-checkpoint isNotNull filter just drops
+    # their 16 dead explode rows up front (same filter-placement lesson as
+    # minhash_lsh_pairs: before the checkpoint it double-evaluates the UDF).
     hashed = (
         with_shingles(df, text_col, id_col, n)
-        .filter(F.size("sh") > 0)
         .select("id", udf(F.col("sh")).alias("sim"))
         .localCheckpoint(eager=False)
+        .filter(F.col("sim").isNotNull())
     )
 
     chunks = hashed.select(

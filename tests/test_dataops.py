@@ -70,7 +70,7 @@ def test_minhash_signature_deterministic():
     a = minhash_signature_series(s, n_hashes=16)
     b = minhash_signature_series(s, n_hashes=16)
     assert a.tolist() == b.tolist()
-    assert len(a[0]) == 16 and a[1] == [0] * 16
+    assert len(a[0]) == 16 and a[1] is None  # empty shingles → NULL signature
 
 
 def test_minhash_lsh_finds_near_dups(spark, dup_docs):
