@@ -134,3 +134,66 @@ def test_format_total_and_in_range(entries):
     header = ",".join(f"{m};q={q}" for m, q in entries)
     fmt = get_format_from_accept_header(header)
     assert fmt in (None, "owl", "ttl", "nt")
+
+
+# --------------------------------------------------------------------------
+# round-2 pure functions
+# --------------------------------------------------------------------------
+
+_accept_texts = st.text(alphabet="abct/;=.,0189* ", max_size=40)
+
+
+@given(
+    st.one_of(st.none(), _accept_texts),
+    st.sampled_from(["turtle", "ntriples", "rdfxml", "htmldocu"]),
+    st.sampled_from(["default", "enforcedPriority", "always"]),
+)
+def test_effective_accept_total_and_closed(accept, fmt, precedence):
+    """effective_accept never raises and returns either the original header
+    or the config format's mime (utils.py:60-100 — no third outcome)."""
+    from kgtm.negotiate import effective_accept, get_mime_type
+
+    out = effective_accept(accept, fmt, precedence)
+    assert out == accept or out == get_mime_type(fmt)
+    if precedence == "always":
+        assert out == get_mime_type(fmt)
+
+
+@given(st.text(max_size=400))
+def test_map_error_to_category_total(name):
+    from kgtm.taxonomy import REFERENCE_CATEGORIES, map_error_to_category
+
+    assert map_error_to_category(name) in REFERENCE_CATEGORIES
+    assert map_error_to_category(name, name) in REFERENCE_CATEGORIES
+
+
+@given(st.lists(st.text(alphabet="lineabc 0123", max_size=20), max_size=60))
+def test_format_error_message_structure(lines):
+    from kgtm.metrics import format_error_message
+
+    msg = "\n".join(lines)
+    out = format_error_message(msg)
+    if len(lines) <= 20:
+        assert out == msg
+    else:
+        out_lines = out.splitlines()
+        assert out_lines[:10] == lines[:10]
+        assert out_lines[-10:] == lines[-10:]
+        assert "............" in out
+
+
+@given(st.lists(st.text(alphabet="the qickbrownfx lazydogs ", max_size=60), max_size=8))
+@settings(deadline=None)
+def test_winnow_and_langid_total_and_deterministic(texts):
+    import pandas as pd
+
+    from kgtm.textstats import LANG_MARKERS, lang_id_trigram_series, winnow_fingerprint_series
+
+    s = pd.Series(texts, dtype="object")
+    a, b = winnow_fingerprint_series(s), winnow_fingerprint_series(s)
+    assert a.tolist() == b.tolist()
+    assert all(isinstance(v, int) for v in a.tolist())
+
+    langs = lang_id_trigram_series(s).tolist()
+    allowed = set(LANG_MARKERS) | {"und"}
+    assert all(v in allowed for v in langs)
