@@ -449,7 +449,7 @@ def embedding_neardup_blocked(
         F.greatest("blk", "other").alias("bj"),
     )
 
-    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = int(key[0]), int(key[1])
         empty = pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
