@@ -215,11 +215,13 @@ def live_acceptable_col(
       status ∈ PASSTHROUGH_STATUS_CODES (utils.py:18-32)
       AND its Content-Type — pre-';' parameters, headers.get default ';' when
       absent (proxy_logic.py:223-225) — is among the requested mimetypes.
+
+    The base mime is NOT trimmed — the reference takes .split(';')[0] raw, so
+    'text/turtle ;charset=…' keeps its trailing space and fails the
+    membership check (falling over to archived), and we match that exactly.
     """
     statuses = ", ".join(str(s) for s in PASSTHROUGH_STATUS_CODES)
-    mime_base = (
-        f"trim(split(coalesce({content_type_name}, ';'), ';')[0])"
-    )
+    mime_base = f"split(coalesce({content_type_name}, ';'), ';')[0]"
     return F.expr(
         f"array_contains(array({statuses}), {status_name})"
     ) & F.array_contains(accept_mimes_col(accept_name), F.expr(mime_base))

@@ -649,7 +649,8 @@ def q_failover_resolution() -> str:
         [m for m, _ in parse_accept_header_with_priority(h)]
         for h in LIFECYCLE_HEADERS
     ]
-    ct_base = [(c or ";").split(";")[0].strip() for c in FAILOVER_CONTENT_TYPES]
+    # raw split, no strip — matches the reference's .split(';')[0] exactly
+    ct_base = [(c or ";").split(";")[0] for c in FAILOVER_CONTENT_TYPES]
     status_ok_sql = " ".join(
         f"WHEN {i} THEN {str(s in PASSTHROUGH_STATUS_CODES).upper()}"
         for i, s in enumerate(FAILOVER_STATUSES)
