@@ -358,6 +358,14 @@ def _q_fuzzy_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation ledger: quality gate → exact dedup → near-dup
+    clustering; every document keeps exactly one keep/drop(+reason) row."""
+    from kgtm.curation import curate_documents
+
+    return curate_documents(_docs(spark, sf_dir))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.dedup import dedup_clusters, ngram_jaccard_pairs
 
@@ -623,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "rollup_metrics": _q_rollup_metrics,
         "dedup_clusters": _q_dedup_clusters,
+        "corpus_curation": _q_corpus_curation,
         "request_lifecycle": _q_request_lifecycle,
         "failover_resolution": _q_failover_resolution,
         "asof_per_row": _q_asof_per_row,
@@ -674,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": oracles.q_session_windows(30),
         "rollup_metrics": oracles.q_rollup_metrics(),
         "dedup_clusters": oracles.q_dedup_clusters(0.5),
+        "corpus_curation": oracles.q_corpus_curation(),
         "request_lifecycle": oracles.q_request_lifecycle(),
         "failover_resolution": oracles.q_failover_resolution(),
         "asof_per_row": oracles.q_asof_per_row(),

@@ -1,0 +1,90 @@
+"""Corpus curation: the composed training-data filtering pipeline.
+
+What a 100 TB pre-training data pipeline actually ships is not one dedup
+operator but a LEDGER: every document with a keep/drop decision and the
+reason, so downstream audits can reproduce the corpus. This module composes
+the tested pieces (kgtm.textstats quality scoring → exact dedup → n-gram
+near-dup clustering over kgtm.dedup + star connected components) into that
+ledger, with deterministic survivor picks at every stage.
+
+Stage order matters and is part of the contract:
+  1. low-quality drops first (cheap codegen-only scan; no point paying
+     shingle/dedup cost for junk),
+  2. exact dedup among the survivors (digest groupBy, min doc_id survives),
+  3. near-dup clustering among what remains (shared-shingle exact Jaccard →
+     O(log n) star components, min doc_id per cluster survives).
+
+Reference lineage: the quality/aggregate side descends from the experiment
+harness's per-file accessibility accounting (aggregate_results.py:92-151 —
+every URL ends in exactly one category); the drop-reason CASE is the same
+idea over documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgtm.dedup import dedup_clusters, ngram_jaccard_pairs
+from kgtm.textstats import quality_features
+
+DROP_REASONS = ["low-quality", "exact-dup", "near-dup"]
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_quality: float = 0.45,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per input document: (doc_id, quality_score, kept, drop_reason).
+
+    drop_reason ∈ {low-quality, exact-dup, near-dup, NULL(kept)} — exactly
+    one bucket per document, first applicable stage wins. All survivor picks
+    are min-doc_id (deterministic, partitioning-independent).
+    """
+    # The threshold compares the ROUNDED score (6 decimals) so the decision
+    # is reproducible from the published quality_stats numbers themselves.
+    scored = quality_features(docs.select(id_col, text_col)).select(
+        id_col, text_col, F.round("quality_score", 6).alias("quality_score")
+    )
+    hq = scored.filter(F.col("quality_score") >= min_quality)
+
+    # stage 2: exact dedup among high-quality docs (digest groupBy; the
+    # min-id keeper joins back broadcast — one digest shuffle total)
+    digests = hq.select(id_col, F.md5(F.col(text_col)).alias("_dg"))
+    keepers = digests.groupBy("_dg").agg(F.min(id_col).alias("_keep"))
+    exact_kept = digests.join(keepers, "_dg").select(
+        id_col, (F.col(id_col) == F.col("_keep")).alias("_exact_keep")
+    )
+
+    # stage 3: near-dup clustering among exact survivors
+    hq2 = hq.join(
+        exact_kept.filter("_exact_keep").select(id_col), id_col, "left_semi"
+    )
+    pairs = ngram_jaccard_pairs(
+        hq2, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+    )
+    clusters = dedup_clusters(pairs, hq2.select(id_col), id_col=id_col)
+
+    ledger = (
+        scored.select(id_col, "quality_score")
+        .join(exact_kept, id_col, "left")
+        .join(
+            clusters.select(F.col("id").alias(id_col), "is_survivor"),
+            id_col,
+            "left",
+        )
+    )
+    reason = (
+        F.when(F.col("quality_score") < min_quality, F.lit("low-quality"))
+        .when(~F.col("_exact_keep"), F.lit("exact-dup"))
+        .when(~F.col("is_survivor"), F.lit("near-dup"))
+    )
+    return ledger.select(
+        id_col,
+        "quality_score",
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+    )

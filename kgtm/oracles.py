@@ -563,6 +563,78 @@ def q_dedup_clusters(threshold: float = 0.5) -> str:
     """
 
 
+def q_corpus_curation(min_quality: float = 0.45, threshold: float = 0.5) -> str:
+    """Twin of kgtm.curation.curate_documents: quality gate → exact dedup →
+    recursive near-dup closure, one drop-reason per document."""
+    return rf"""
+      WITH RECURSIVE
+      scored AS (
+        SELECT doc_id, quality_score FROM ({q_quality_stats()})
+      ),
+      hq AS (
+        SELECT d.doc_id, d.text, s.quality_score
+        FROM documents d JOIN scored s USING (doc_id)
+        WHERE s.quality_score >= {min_quality}
+      ),
+      digests AS (SELECT doc_id, md5(text) AS dg FROM hq),
+      keepers AS (SELECT dg, min(doc_id) AS keep FROM digests GROUP BY dg),
+      exact_kept AS (
+        SELECT d.doc_id, d.doc_id = k.keep AS exact_keep
+        FROM digests d JOIN keepers k USING (dg)
+      ),
+      hq2 AS (
+        SELECT h.doc_id, h.text
+        FROM hq h JOIN exact_kept e USING (doc_id) WHERE e.exact_keep
+      ),
+      w2 AS (
+        SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM hq2
+      ),
+      sh2 AS (
+        SELECT id, list_distinct(
+                 list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                                i -> array_to_string(w[i:i+2], ' '))) AS s
+        FROM w2
+      ),
+      flat2 AS (SELECT id, len(s) AS n_sh, unnest(s) AS shingle FROM sh2),
+      inter2 AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               count(*) AS ni
+        FROM flat2 a JOIN flat2 b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+      ),
+      prs AS (
+        SELECT id_a, id_b FROM inter2
+        WHERE ni * 1.0 / (n_a + n_b - ni) >= {threshold}
+      ),
+      und AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION SELECT id_b, id_a FROM prs
+      ),
+      reach AS (
+        SELECT id AS src, id AS dst FROM w2
+        UNION
+        SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+      ),
+      surv AS (
+        SELECT src AS doc_id, src = min(dst) AS is_survivor
+        FROM reach GROUP BY src
+      )
+      SELECT s.doc_id,
+             round(s.quality_score, 6) AS quality_score,
+             (CASE WHEN s.quality_score < {min_quality} THEN 'low-quality'
+                   WHEN NOT e.exact_keep THEN 'exact-dup'
+                   WHEN NOT v.is_survivor THEN 'near-dup' END) IS NULL AS kept,
+             CASE WHEN s.quality_score < {min_quality} THEN 'low-quality'
+                  WHEN NOT e.exact_keep THEN 'exact-dup'
+                  WHEN NOT v.is_survivor THEN 'near-dup' END AS drop_reason
+      FROM scored s
+      LEFT JOIN exact_kept e USING (doc_id)
+      LEFT JOIN surv v USING (doc_id)
+    """
+
+
 def q_value_percentiles() -> str:
     return """
       SELECT event_type, count(*) AS n_events,

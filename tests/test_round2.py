@@ -361,6 +361,34 @@ def test_empty_docs_never_pair_in_sketch_dedup(spark):
     assert not out[""].is_linked and not out["ab"].is_linked
 
 
+def test_corpus_curation_all_drop_reasons(spark):
+    """Every document lands in exactly one bucket; all three drop reasons
+    fire; survivor picks are min-doc_id at both dedup stages."""
+    from kgtm.curation import curate_documents
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and the story of the "
+        "garden is a long one for all of the people in the world to read"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # kept (cluster survivor)
+            (2, good),                      # exact dup of 1 → exact-dup
+            (3, good + " almost"),          # near-dup of 1 → near-dup
+            (4, "x!!! ??? ;;; ,,,"),        # punctuation soup → low-quality
+            (5, good.replace("fox", "owl").replace("dog", "cat").replace("garden", "harbor").replace("story", "report").replace("read", "hear")),  # kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curate_documents(docs, min_quality=0.45, jaccard_threshold=0.5).collect()}
+    assert len(out) == 5
+    assert out[1].kept and out[1].drop_reason is None
+    assert not out[2].kept and out[2].drop_reason == "exact-dup"
+    assert not out[3].kept and out[3].drop_reason == "near-dup"
+    assert not out[4].kept and out[4].drop_reason == "low-quality"
+    assert out[5].kept
+
+
 def test_lang_id_trigram_on_held_out_sentences():
     """The NB classifier must identify held-out sentences (none appear in
     LANG_SAMPLES) — strictly stronger than the marker-word heuristic, which
