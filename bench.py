@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "failover_resolution",
     "incremental_relink",
     "dedup_exact",
+    "corpus_curation",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash_neardup",

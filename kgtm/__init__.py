@@ -23,6 +23,7 @@ __all__ = [
     "get_spark",
     "generate",
     "SynthConfig",
+    "curate_documents",
     "incremental_relink",
     "link_mentions",
     "resolve_links",
@@ -45,6 +46,10 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm import synth
 
         return getattr(synth, name)
+    if name == "curate_documents":
+        from kgtm.curation import curate_documents
+
+        return curate_documents
     if name in ("incremental_relink", "link_mentions"):
         from kgtm import link
 
