@@ -173,12 +173,16 @@ def test_format_error_message_structure(lines):
 
     msg = "\n".join(lines)
     out = format_error_message(msg)
-    if len(lines) <= 20:
+    # The implementation (and the reference, parse_ontologies.py:20-24)
+    # round-trips through str.splitlines(), which drops a trailing empty
+    # line — so the oracle must be msg.splitlines(), not the pre-join list.
+    msg_lines = msg.splitlines()
+    if len(msg_lines) <= 20:
         assert out == msg
     else:
         out_lines = out.splitlines()
-        assert out_lines[:10] == lines[:10]
-        assert out_lines[-10:] == lines[-10:]
+        assert out_lines[:10] == msg_lines[:10]
+        assert out_lines[-10:] == msg_lines[-10:]
         assert "............" in out
 
 
