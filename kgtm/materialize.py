@@ -15,13 +15,56 @@ Iceberg catalog when one is configured on the cluster — the contract
 from __future__ import annotations
 
 import json
-import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgtm.metrics import MetricsCollector
+
+# Manifest file name: zero-padded seq prefix so the claimed sequence number is
+# part of the (unique) file name — two writers can never both own a seq.
+_MANIFEST_RE = re.compile(r"^(\d{10})-([0-9a-f]+)\.json$")
+
+
+def _child(base: str, *parts: str) -> str:
+    """URI-safe path join (os.path.join breaks on s3a://, hdfs:// bases)."""
+    return "/".join([base.rstrip("/"), *parts])
+
+
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for `path` — works for file:, hdfs:, s3a:, ... so the
+    commit protocol runs on object storage, not just a driver-local POSIX dir."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    fs, jvm = _fs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _read_bytes(spark: SparkSession, path: str) -> bytes:
+    fs, jvm = _fs(spark, path)
+    ins = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(close=True) closes the input stream for us
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(ins, baos, 65536, True)
+    return bytes(baos.toByteArray())
+
+
+def _active_spark(spark: SparkSession | None) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession for manifest-store access")
+    return s
 
 
 def write_triples(
@@ -49,7 +92,7 @@ def write_triples(
     # atomic metadata swap), and (b) `read_triples(as_of=seq)` time-travels
     # to any earlier commit — the output-store mirror of the reference's
     # versioned-ontology time machine.
-    data_path = os.path.join(out_dir, "triples", f"commit={commit_id}")
+    data_path = _child(out_dir, "triples", f"commit={commit_id}")
 
     df = triples
     if n_output_partitions:
@@ -67,21 +110,51 @@ def write_triples(
 
     # metrics + commit manifest beside the data
     mc.to_df(spark).write.mode("append").parquet(
-        os.path.join(out_dir, "metrics", f"commit={commit_id}")
+        _child(out_dir, "metrics", f"commit={commit_id}")
     )
-    commits_dir = os.path.join(out_dir, "_commits")
-    os.makedirs(commits_dir, exist_ok=True)
-    seq = len([f for f in os.listdir(commits_dir) if f.endswith(".json")])
-    commit = {
-        "commit_id": commit_id,
-        "seq": seq,
-        "format": fmt,
-        "partition_by": list(partition_by),
-        "stages": [r["stage"] for r in mc.rows],
-    }
-    with open(os.path.join(commits_dir, f"{commit_id}.json"), "w") as f:
-        json.dump(commit, f)
-    return commit
+    return _commit_manifest(
+        spark,
+        out_dir,
+        {
+            "commit_id": commit_id,
+            "format": fmt,
+            "partition_by": list(partition_by),
+            "stages": [r["stage"] for r in mc.rows],
+        },
+    )
+
+
+def _commit_manifest(spark: SparkSession, out_dir: str, commit: dict) -> dict:
+    """Publish a commit manifest atomically through the Hadoop FileSystem.
+
+    Protocol (the LogStore pattern — works on HDFS/ABFS where rename-if-absent
+    is atomic; on S3A pair it with a coordinating metastore, same as every
+    rename-based committer):
+      1. write the full manifest JSON to a dot-prefixed temp file (readers
+         skip dot/underscore names, so a crash mid-write is invisible),
+      2. claim seq = max(committed seq) + 1 by renaming the temp file to the
+         seq-named destination `{seq:010d}-{commit_id}.json`; if the
+         destination already exists (a concurrent writer won), re-stamp the
+         manifest with the next seq and retry.
+    `seq` lives in the file NAME, so duplicate seqs are structurally
+    impossible — unlike the old count-of-files scheme, deleting a manifest
+    can never cause a later commit to reuse an existing seq.
+    """
+    commits_dir = _child(out_dir, "_commits")
+    fs, jvm = _fs(spark, commits_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(hpath(commits_dir))
+
+    commit_id = commit["commit_id"]
+    tmp = _child(commits_dir, f".tmp-{commit_id}.json")
+    seq = 1 + max((c["seq"] for c in list_commits(out_dir, spark)), default=-1)
+    while True:
+        commit["seq"] = seq
+        _write_bytes(spark, tmp, json.dumps(commit).encode())
+        dst = hpath(_child(commits_dir, f"{seq:010d}-{commit_id}.json"))
+        if not fs.exists(dst) and fs.rename(hpath(tmp), dst):
+            return commit
+        seq += 1  # lost the race for this seq — claim the next one
 
 
 def write_bucketed(
@@ -106,16 +179,29 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def list_commits(out_dir: str) -> list[dict]:
-    """Committed manifests, ordered by seq (the visible snapshot history)."""
-    commits_dir = os.path.join(out_dir, "_commits")
-    if not os.path.isdir(commits_dir):
+def list_commits(out_dir: str, spark: SparkSession | None = None) -> list[dict]:
+    """Committed manifests, ordered by seq (the visible snapshot history).
+
+    Reads through the Hadoop FileSystem (object-store safe). Dot/underscore
+    temp files and unparsable manifests (a writer crashed mid-write before the
+    atomic rename, or bitrot) are skipped, so a broken file can never take the
+    whole store down for readers.
+    """
+    spark = _active_spark(spark)
+    commits_dir = _child(out_dir, "_commits")
+    fs, jvm = _fs(spark, commits_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hpath(commits_dir)):
         return []
     commits = []
-    for name in os.listdir(commits_dir):
-        if name.endswith(".json"):
-            with open(os.path.join(commits_dir, name)) as f:
-                commits.append(json.load(f))
+    for status in fs.listStatus(hpath(commits_dir)):
+        name = status.getPath().getName()
+        if not _MANIFEST_RE.match(name):
+            continue
+        try:
+            commits.append(json.loads(_read_bytes(spark, _child(commits_dir, name))))
+        except (ValueError, OSError):  # truncated/corrupt manifest: skip
+            continue
     return sorted(commits, key=lambda c: c.get("seq", 0))
 
 
@@ -126,14 +212,16 @@ def read_triples(
     (half-written commits without a manifest are invisible); ``as_of`` reads
     the store as of that commit seq — time travel over the triple store.
     """
-    commits = list_commits(out_dir)
+    commits = list_commits(out_dir, spark)
     if as_of is not None:
         commits = [c for c in commits if c.get("seq", 0) <= as_of]
     paths = [
-        os.path.join(out_dir, "triples", f"commit={c['commit_id']}")
+        _child(out_dir, "triples", f"commit={c['commit_id']}")
         for c in commits
     ]
-    existing = [p for p in paths if os.path.isdir(p)]
+    fs, jvm = _fs(spark, out_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    existing = [p for p in paths if fs.exists(hpath(p))]
     if not existing:
         # no committed data → empty frame with the store path's layout is
         # unknowable; raise like a missing-table read would
@@ -141,10 +229,10 @@ def read_triples(
     # basePath keeps partition discovery rooted at the store, so both the
     # commit= and source= partition columns survive into the schema
     return (
-        spark.read.option("basePath", os.path.join(out_dir, "triples"))
+        spark.read.option("basePath", _child(out_dir, "triples"))
         .parquet(*existing)
     )
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "metrics"))
+    return spark.read.parquet(_child(out_dir, "metrics"))

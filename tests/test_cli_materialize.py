@@ -77,6 +77,63 @@ def test_commit_snapshot_isolation_and_time_travel(spark, events, tmp_path):
     assert read_triples(spark, store).count() == 2 * n
 
 
+def test_manifest_store_on_hadoop_file_scheme(spark, events, tmp_path):
+    """The commit protocol must work through the Hadoop FileSystem API (a
+    `file:` URI here; same code path as hdfs://, s3a://) — no driver-local
+    POSIX assumption."""
+    from kgtm.materialize import list_commits
+
+    store = "file://" + str(tmp_path / "store")
+    tr = events_to_transcripts(events)
+    triples = build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
+    n = triples.count()
+    c1 = write_triples(triples, store)
+    write_triples(triples, store)
+    assert [c["seq"] for c in list_commits(store)] == [0, 1]
+    assert read_triples(spark, store).count() == 2 * n
+    assert read_triples(spark, store, as_of=c1["seq"]).count() == n
+
+
+def test_manifest_seq_is_race_and_corruption_safe(spark, events, tmp_path):
+    """seq assignment must survive deleted manifests, a concurrent writer
+    claiming the next seq, truncated manifests, and leftover temp files —
+    the failure modes of the old count-of-*.json scheme."""
+    from kgtm.materialize import list_commits
+
+    store = str(tmp_path / "store")
+    tr = events_to_transcripts(events)
+    triples = build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
+
+    c1 = write_triples(triples, store)
+    c2 = write_triples(triples, store)
+    commits_dir = Path(store) / "_commits"
+
+    # delete the FIRST manifest: next commit must take max+1 (=2), never
+    # reuse c2's seq the way `count of files` would
+    (commits_dir / f"{c1['seq']:010d}-{c1['commit_id']}.json").unlink()
+    c3 = write_triples(triples, store)
+    assert c3["seq"] == c2["seq"] + 1
+    seqs = [c["seq"] for c in list_commits(store)]
+    assert len(seqs) == len(set(seqs)) and seqs == sorted(seqs)
+
+    # a concurrent writer already claimed the next seq → this writer must
+    # detect the occupied name and land on the one after
+    taken = c3["seq"] + 1
+    (commits_dir / f"{taken:010d}-cafecafecafe.json").write_text(
+        '{"commit_id": "cafecafecafe", "seq": %d}' % taken
+    )
+    c4 = write_triples(triples, store)
+    assert c4["seq"] == taken + 1
+
+    # truncated manifest + leftover temp file: readers skip both
+    (commits_dir / f"{c4['seq'] + 1:010d}-0123456789ab.json").write_text('{"comm')
+    (commits_dir / ".tmp-deadbeef.json").write_text("{}")
+    visible = list_commits(store)
+    assert {c["commit_id"] for c in visible} >= {c2["commit_id"], c3["commit_id"], c4["commit_id"]}
+    assert all(c["commit_id"] != "0123456789ab" for c in visible)
+    read_triples(spark, store)  # still readable end-to-end
+
+
 def test_cli_end_to_end_subprocess(tmp_path):
     """Drive the real CLI as spark-submit would (fresh python == fresh JVM)."""
     corpus = tmp_path / "corpus"
