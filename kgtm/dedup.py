@@ -104,15 +104,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All (id_a, id_b, jaccard) pairs with J >= threshold, id_a < id_b.
 
-    Exact: |A∩B| from the shared-shingle join, |A∪B| = |A|+|B|-|∩|.
-    ``max_shingle_df`` drops shingles appearing in more than that many docs
-    before pairing — the skew guard is ON BY DEFAULT (1000): a stop-phrase
-    that 10^8 docs share carries no dedup signal and would quadratically
-    explode the self-join (1000 caps any single shingle's pair fan-out at
-    ~5·10^5 rows). Exactness holds for every pair that shares at least one
-    sub-cap shingle; pass None to disable (exact for ALL pairs — only safe on
-    corpora where no shingle is near-universal). ``log_dropped=True`` counts
-    and prints the dropped hot shingles (one extra small job).
+    APPROXIMATE BY DEFAULT: ``max_shingle_df=1000`` drops near-universal
+    (hot) shingles before pairing, so (a) a pair whose ONLY shared shingles
+    are hot is never emitted, and (b) Jaccard is computed over the capped
+    shingle space. Pass ``max_shingle_df=None`` for the exact all-pairs
+    semantics (safe only on corpora with no near-universal shingle — the
+    hot-shingle self-join explodes quadratically otherwise).
+
+    Within the capped space the computation IS exact: |A∩B| from the
+    shared-shingle join, |A∪B| = |A|+|B|-|∩|, consistently over post-cap
+    shingle sets on BOTH sides of the ratio, and exactness holds for every
+    pair that shares at least one sub-cap shingle (a stop-phrase that 10^8
+    docs share carries no dedup signal). ``log_dropped=True`` counts and
+    prints the dropped hot shingles (one extra small job).
     """
     sh = with_shingles(df, text_col, id_col, n)
     # explode FIRST (grams evaluated once inside Generate); join on a 64-bit

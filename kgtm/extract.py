@@ -63,7 +63,14 @@ def iri_mentions_col(text: str | Column = "text") -> Column:
 def mention_id_col() -> Column:
     """128-bit deterministic mention id over the natural provenance key
     (conv_id, turn_idx, pos, surface) — collision-safe at 10^12 mentions.
-    \\x1f separators make the concat injective for these columns."""
+    \\x1f separators make the concat injective for these columns.
+
+    ID-FORMAT v2 (BREAKING vs v1): string md5 hex, not the v1 int64
+    xxhash64 — v1 ids had ~10^4 expected birthday collisions at 10^12
+    mentions. Tables materialized under v1 neither join nor schema-match v2
+    output; re-materialize them (incremental_relink detects the old int64
+    column and fails with that instruction rather than silently mismatching).
+    """
     return F.md5(
         F.concat_ws(
             "\x1f",

@@ -242,6 +242,16 @@ def incremental_relink(
     Output schema == link_mentions' output; equality with a full re-link
     against new_index is the correctness contract (oracle-checked).
     """
+    # migration guard: v1 linkage tables carry an int64 (xxhash64) mention_id;
+    # v2 is string md5 hex (extract.mention_id_col). Mixing them would produce
+    # ids that silently never join — fail loudly instead.
+    for f in linked.schema.fields:
+        if f.name == "mention_id" and f.dataType.simpleString() != "string":
+            raise TypeError(
+                "linked has a v1 int64 mention_id (pre-md5 id format); "
+                "re-materialize it with the current extract_mentions before "
+                "running incremental_relink"
+            )
     old_rows = old_index.select(
         "host", F.col("path").alias("cand_path"), "ontology_iri"
     )

@@ -108,9 +108,14 @@ def streaming_resolution(
             .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))
             .otherwise(F.lit("archivo-latest"))
         )
-        return out.withColumn(
-            "snapshot_iri",
-            F.when(~live_ok | ~F.col("is_linked"), F.col("snapshot_iri")),
+        # A live-accepted response IS the original: no snapshot attaches —
+        # null ALL archived-leg columns, matching batch resolve_links.
+        return out.select(
+            *[c for c in out.columns if c not in ("snapshot_iri", "version_ts", "file_url")],
+            *[
+                F.when(~live_ok | ~F.col("is_linked"), F.col(c)).alias(c)
+                for c in ("snapshot_iri", "version_ts", "file_url")
+            ],
         ).withColumn("source", source)
     return out.withColumn(
         "source",

@@ -257,6 +257,31 @@ def test_incremental_relink_equals_full(spark, events):
     assert views and all(r.is_linked for r in views)
 
 
+def test_incremental_relink_rejects_v1_int64_mention_id(spark, events):
+    """A linkage table materialized under the old int64 mention_id format
+    must fail loudly (re-materialize message), not silently produce ids that
+    never join the new string md5 ids."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kgtm.extract import extract_mentions
+    from kgtm.link import incremental_relink, link_mentions
+    from kgtm.transcripts import (
+        events_to_transcripts,
+        mutated_index_rows,
+        ontology_index_df,
+    )
+
+    m = extract_mentions(events_to_transcripts(events))
+    old = ontology_index_df(spark)
+    new = spark.createDataFrame(mutated_index_rows(), old.schema)
+    v1_linked = link_mentions(m, old).withColumn(
+        "mention_id", F.xxhash64("conv_id", "turn_idx", "surface")
+    )
+    with pytest.raises(TypeError, match="re-materialize"):
+        incremental_relink(v1_linked, old, new)
+
+
 def test_incremental_relink_detects_repointed_entry(spark, events):
     """An index entry re-pointed to a DIFFERENT ontology IRI keeps its
     (host, path) key — the delta detection must still flag it."""

@@ -94,6 +94,19 @@ def test_stream_failover_matches_batch(spark, events, stream_dirs):
     b = {(r.source, r["count"]) for r in batch.groupBy("source").count().collect()}
     assert g == b
     assert any(s == "original" for s, _ in g)  # live-accepted rows exist
+    # a live-accepted response carries NO snapshot: ALL archived-leg columns
+    # must be null, exactly like batch resolve_links (not just snapshot_iri)
+    live_rows = got.filter(F.col("source") == "original")
+    assert live_rows.filter(
+        F.col("snapshot_iri").isNotNull()
+        | F.col("version_ts").isNotNull()
+        | F.col("file_url").isNotNull()
+    ).count() == 0
+    # and archived rows still carry all three
+    assert got.filter(
+        (F.col("source") == "archivo-latest") & F.col("version_ts").isNotNull()
+        & F.col("file_url").isNotNull()
+    ).count() > 0
     assert any(s == "archivo-latest" for s, _ in g)  # fallback rows exist
     # live-accepted rows carry no snapshot
     assert got.filter((F.col("source") == "original") & F.col("snapshot_iri").isNotNull()).count() == 0
