@@ -223,6 +223,21 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(embs, embs.filter(F.col("vec_id") < 5), k=10)
 
 
+def _q_ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH with planes_per_table=0: every table has a single universal bucket,
+    so the bucket join's candidate set is the full corpus and the result must
+    equal brute force exactly — the LSH mirror of ann_ivf_exhaustive.
+    Certifies the whole LSH machinery (bucket-code UDF, scalar-key join, pair
+    dedup, vector attach, scoring, ranking) is lossless; the approximate
+    entry (ann_lsh_topk) then only risks recall, not correctness."""
+    from kgtm.similarity import lsh_topk
+
+    embs = _embs(spark, sf_dir)
+    return lsh_topk(
+        embs, embs.filter(F.col("vec_id") < 5), k=10, n_tables=2, planes_per_table=0
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.dedup import embedding_neardup_blocked
 
@@ -652,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_lsh_exhaustive": _q_ann_lsh_exhaustive,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "embedding_neardup": _q_embedding_neardup,
@@ -704,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.q_token_counts(),
         "ann_topk": oracles.q_ann_topk(5, 10),
         "ann_ivf_exhaustive": oracles.q_ann_topk(5, 10),
+        "ann_lsh_exhaustive": oracles.q_ann_topk(5, 10),
         "embedding_neardup": oracles.q_embedding_neardup(0.5),
         "media_meta": oracles.q_media_meta(),
         "frame_samples": oracles.q_frame_samples(),

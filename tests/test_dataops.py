@@ -199,6 +199,14 @@ def test_brute_topk_and_lsh_recall(spark, embeddings):
     rec = recall_at_k(approx, exact)
     assert rec >= 0.6, rec  # 8 tables x 6 planes, multi-probe queries
 
+    # derandomized twin: 0 planes/table → one universal bucket per table →
+    # candidates = full corpus through the SAME bucket-join machinery, so
+    # the result must equal brute force EXACTLY (values, not just recall)
+    exhaustive = lsh_topk(embeddings, queries, k=10, n_tables=2, planes_per_table=0)
+    got = sorted(map(tuple, exhaustive.collect()))
+    want = sorted(map(tuple, exact.collect()))
+    assert got == want
+
 
 # ---------------------------------------------------------------------------
 # multimodal
