@@ -26,6 +26,7 @@ __all__ = [
     "curate_documents",
     "incremental_relink",
     "link_mentions",
+    "broadcast_ladder_link",
     "resolve_links",
     "write_triples",
     "read_triples",
@@ -50,7 +51,7 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm.curation import curate_documents
 
         return curate_documents
-    if name in ("incremental_relink", "link_mentions"):
+    if name in ("incremental_relink", "link_mentions", "broadcast_ladder_link"):
         from kgtm import link
 
         return getattr(link, name)

@@ -158,6 +158,73 @@ def ladder_link_expr(index_rows: list[tuple[str, str, str]], host_col: str = "ho
     )
 
 
+def host_path_map(index: DataFrame) -> DataFrame:
+    """Dictionary side for the stream-static broadcast ladder:
+    (d_host, path_map: map<path, ontology_iri>) — one row per host.
+
+    Duplicate (host, path) dictionary rows are resolved deterministically to
+    min(ontology_iri) (the batch broadcast-join path is NONdeterministic
+    there: min_by over rung-equal hits picks an arbitrary one)."""
+    return (
+        index.groupBy("host", "path")
+        .agg(F.min("ontology_iri").alias("ontology_iri"))
+        .groupBy(F.col("host").alias("d_host"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("path", "ontology_iri"))
+            ).alias("path_map")
+        )
+    )
+
+
+def broadcast_ladder_link(
+    df: DataFrame,
+    index: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Ladder linking as ONE stream-static broadcast join + pure expressions —
+    the large-dictionary streaming path (NOTES item 5).
+
+    ladder_link_expr folds the dictionary into the plan as a map LITERAL,
+    which bloats plans past ~10^5 entries; here the dictionary arrives as a
+    broadcast (host → map<path, iri>) table, so plan size is O(1) in
+    |dictionary|. The rung-ordered candidate array is probed against the
+    joined map column and the FIRST hit wins — same short-circuit semantics
+    as ladder_link_expr / min-rung link_mentions (proxy_logic.py:88-144).
+
+    Append-safe: the stream side sees a broadcast join plus stateless column
+    expressions — no aggregation, so it runs under streaming append mode.
+    Path-less mentions link on host membership alone (proxy_logic.py:100-101:
+    d_host non-null after the left join), rung 0, no iri/canonical path.
+
+    Adds (is_linked, ontology_iri, canonical_path, rung) to df's columns.
+    """
+    dict_side = F.broadcast(host_path_map(index))
+    joined = df.join(dict_side, F.col(host_col) == F.col("d_host"), "left")
+    pm = F.col("path_map")
+    probed = F.transform(
+        candidate_paths_col(path_col),
+        lambda c: F.struct(
+            c["rung"].alias("rung"),
+            c["cand_path"].alias("cand_path"),
+            pm[c["cand_path"]].alias("ontology_iri"),
+        ),
+    )
+    first = F.get(F.filter(probed, lambda x: x["ontology_iri"].isNotNull()), 0)
+    p = F.col(path_col)
+    pathless_hit = (p.isNull() | (p == "")) & F.col("d_host").isNotNull()
+    return joined.select(
+        *df.columns,
+        (first.isNotNull() | pathless_hit).alias("is_linked"),
+        first["ontology_iri"].alias("ontology_iri"),
+        first["cand_path"].alias("canonical_path"),
+        F.when(first.isNotNull(), first["rung"])
+        .when(pathless_hit, F.lit(0))
+        .alias("rung"),
+    )
+
+
 def link_surfaces(surfaces: DataFrame, index: DataFrame) -> DataFrame:
     """Ladder-link a DISTINCT surface table: (surface, host, path, ...) →
     + (is_linked, ontology_iri, canonical_path, rung).

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgtm.extract import iri_mentions_col
-from kgtm.link import ladder_link_expr
+from kgtm.link import broadcast_ladder_link, ladder_link_expr
 from kgtm.normalize import parse_iri_cols
 from kgtm.resolve import latest_snapshots
 from kgtm.schemas import TRANSCRIPTS_SCHEMA
@@ -44,14 +44,23 @@ def streaming_resolution(
     snapshots: DataFrame,
     mode: str = "latestArchived",
     live_legs: DataFrame | None = None,
+    ladder: str = "broadcast",
 ) -> DataFrame:
     """Stream of resolved mention rows.
 
-    Linking uses the aggregation-free map-literal ladder (ladder_link_expr) —
-    append output mode forbids unwatermarked aggregations, and the min-rung
-    groupBy of the batch path IS one. The dictionary is collected driver-side
-    (it is broadcast-sized by design) and folded into the plan; the snapshot
-    dim stays a stream-static broadcast join (joins are append-safe).
+    Linking must stay aggregation-free — append output mode forbids
+    unwatermarked aggregations, and the min-rung groupBy of the batch path IS
+    one. Two append-safe formulations:
+
+      * ladder='broadcast' (default, the scale path): ONE stream-static
+        broadcast join against (host → map<path, iri>) + a pure-expression
+        rung probe (link.broadcast_ladder_link). Plan size is O(1) in the
+        dictionary, so 10^5+-entry dictionaries stream fine.
+      * ladder='literal': the dictionary is collected driver-side and folded
+        into the plan as a map literal (ladder_link_expr) — fine for small
+        dictionaries, bloats plans past ~10^5 entries.
+
+    The snapshot dim stays a stream-static broadcast join (append-safe).
 
     mode='originalFailoverLiveLatest' additionally needs ``live_legs`` — a
     STATIC (surface, live_status, live_content_type, accept_header) table of
@@ -62,10 +71,6 @@ def streaming_resolution(
     """
     from kgtm.extract import mention_id_col
 
-    index_rows = [
-        (r.host, r.path, r.ontology_iri)
-        for r in ontology_index.select("host", "path", "ontology_iri").collect()
-    ]
     mentions = stream.select(
         "conv_id",
         "turn_idx",
@@ -79,14 +84,21 @@ def streaming_resolution(
         "surface",
         *parse_iri_cols("surface"),
     )
-    link = ladder_link_expr(index_rows)
-    linked = mentions.select(
-        "*",
-        link["is_linked"].alias("is_linked"),
-        link["ontology_iri"].alias("ontology_iri"),
-        link["canonical_path"].alias("canonical_path"),
-        link["rung"].alias("rung"),
-    )
+    if ladder == "literal":
+        index_rows = [
+            (r.host, r.path, r.ontology_iri)
+            for r in ontology_index.select("host", "path", "ontology_iri").collect()
+        ]
+        link = ladder_link_expr(index_rows)
+        linked = mentions.select(
+            "*",
+            link["is_linked"].alias("is_linked"),
+            link["ontology_iri"].alias("ontology_iri"),
+            link["canonical_path"].alias("canonical_path"),
+            link["rung"].alias("rung"),
+        )
+    else:
+        linked = broadcast_ladder_link(mentions, ontology_index)
     dim = F.broadcast(latest_snapshots(snapshots))
     out = linked.join(dim, "ontology_iri", "left")
     if mode == "originalFailoverLiveLatest":

@@ -75,6 +75,43 @@ def test_spark_path_matches_golden(spark):
             assert r.rung == int(c["expected_rung"]), c["comment"]
 
 
+def test_broadcast_ladder_matches_golden(spark):
+    """The 4th formulation — one host-keyed broadcast join over a
+    (host → map<path,iri>) dictionary (link.broadcast_ladder_link, the
+    large-dictionary streaming path) — must agree with the golden corpus and
+    with link_mentions row-for-row, including path-less host-only matches."""
+    from kgtm.link import broadcast_ladder_link, link_mentions
+    from kgtm.normalize import parse_iri_cols
+
+    index = spark.createDataFrame(DICT_ROWS, ONTOLOGY_INDEX_SCHEMA)
+    surfaces = [c["surface_iri"] for c in CASES] + [
+        "http://dict.org", "https://dict.org", "http://nodict.org",
+        "http://dict.org/zzz",
+    ]
+    mentions = spark.createDataFrame([(s,) for s in surfaces], "surface string").select(
+        F.lit("c").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.xxhash64("surface").alias("mention_id"),
+        "surface",
+        *parse_iri_cols("surface"),
+    )
+    cols = ["surface", "is_linked", "ontology_iri", "canonical_path", "rung"]
+    got = {r.surface: r for r in broadcast_ladder_link(mentions, index).select(*cols).collect()}
+    for c in CASES:
+        r = got[c["surface_iri"]]
+        assert r.is_linked == (c["expected_in_dict"] == "true"), c["comment"]
+        if r.is_linked:
+            assert r.canonical_path == c["expected_canonical_path"], c["comment"]
+            assert r.rung == int(c["expected_rung"]), c["comment"]
+    assert got["http://dict.org"].is_linked and got["http://dict.org"].rung == 0
+    assert got["http://dict.org"].ontology_iri is None
+    assert not got["http://nodict.org"].is_linked
+    assert not got["http://dict.org/zzz"].is_linked
+    # full-row agreement with the min-rung groupBy formulation
+    want = sorted(map(tuple, link_mentions(mentions, index).select(*cols).collect()))
+    assert sorted(map(tuple, (r for r in got.values()))) == want
+
+
 def test_pathless_host_only_match(spark):
     """proxy_logic.py:100-101: a path-less request matches on host alone
     (membership true, no canonical write-back, no specific ontology)."""

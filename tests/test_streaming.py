@@ -53,6 +53,43 @@ def test_stream_matches_batch_resolution(spark, events, stream_dirs):
     assert {(r.source, r["count"]) for r in g} == {(r.source, r["count"]) for r in b}
 
 
+def test_stream_broadcast_ladder_large_dictionary(spark, events, stream_dirs):
+    """The large-dictionary scale path (NOTES item 5): streaming with a
+    10^5-entry dictionary must (a) plan as a broadcast join, not a 10^5-entry
+    map literal, and (b) match the batch link_mentions resolution row-counts
+    per source over the same input."""
+    in_dir, out_dir, ck_dir = stream_dirs
+    from kgtm.schemas import ONTOLOGY_INDEX_SCHEMA
+    from kgtm.transcripts import ontology_index_rows
+
+    # real dictionary + 10^5 synthetic filler entries (distinct hosts)
+    filler = spark.range(100_000).select(
+        F.concat(F.lit("http://filler"), "id", F.lit(".example.net/v/")).alias(
+            "ontology_iri"
+        ),
+        F.concat(F.lit("filler"), "id", F.lit(".example.net")).alias("host"),
+        F.lit("/v/").alias("path"),
+        F.lit("slash").alias("iri_type"),
+    )
+    real = spark.createDataFrame(ontology_index_rows(), ONTOLOGY_INDEX_SCHEMA)
+    idx = real.select(*ONTOLOGY_INDEX_SCHEMA.fieldNames()).unionByName(
+        filler.select(*ONTOLOGY_INDEX_SCHEMA.fieldNames())
+    )
+    snaps = ontology_snapshots_df(spark)
+
+    resolved = streaming_resolution(read_transcript_stream(spark, in_dir), idx, snaps)
+    run_stream_to_parquet(resolved, out_dir, ck_dir)
+    got = spark.read.parquet(out_dir)
+
+    tr = spark.read.parquet(in_dir)
+    batch = resolve_links(
+        link_mentions(extract_mentions(tr), idx), snaps, "latestArchived"
+    )
+    g = {(r.source, r["count"]) for r in got.groupBy("source").count().collect()}
+    b = {(r.source, r["count"]) for r in batch.groupBy("source").count().collect()}
+    assert g == b and any(s == "archivo-latest" for s, _ in g)
+
+
 def test_stream_failover_matches_batch(spark, events, stream_dirs):
     """Failover in streaming: the live-legs static table gates live-vs-
     archived per surface, and the per-source counts match the batch failover
