@@ -30,7 +30,11 @@ __all__ = [
     "resolve_links",
     "write_triples",
     "read_triples",
+    "write_table",
+    "read_table",
     "list_commits",
+    "persist_ledger",
+    "read_ledger",
 ]
 
 
@@ -47,10 +51,10 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm import synth
 
         return getattr(synth, name)
-    if name == "curate_documents":
-        from kgtm.curation import curate_documents
+    if name in ("curate_documents", "persist_ledger", "read_ledger"):
+        from kgtm import curation
 
-        return curate_documents
+        return getattr(curation, name)
     if name in ("incremental_relink", "link_mentions", "broadcast_ladder_link"):
         from kgtm import link
 
@@ -59,7 +63,7 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm.resolve import resolve_links
 
         return resolve_links
-    if name in ("write_triples", "read_triples", "list_commits"):
+    if name in ("write_triples", "read_triples", "write_table", "read_table", "list_commits"):
         from kgtm import materialize
 
         return getattr(materialize, name)

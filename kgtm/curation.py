@@ -88,3 +88,48 @@ def curate_documents(
         reason.isNull().alias("kept"),
         reason.alias("drop_reason"),
     )
+
+
+def persist_ledger(ledger: DataFrame, out_dir: str, **curation_params) -> dict:
+    """Commit a curation ledger into the manifest store (table='ledger').
+
+    Corpus versions then time-travel exactly like the triple store: each
+    curation run is one commit, `read_ledger(as_of=seq)` reproduces the
+    corpus decision set as of that commit — the output-store mirror of the
+    reference's hash-versioned dictionary snapshots
+    (download_archivo_urls.py:41-46: a new version only when content
+    changed). ``curation_params`` (thresholds etc.) are recorded in the
+    manifest so every corpus version is reproducible from its commit record.
+    """
+    from kgtm.materialize import write_table
+
+    return write_table(
+        ledger.withColumn("kept_part", F.col("kept")),
+        out_dir,
+        table="ledger",
+        partition_by=("kept_part",),
+        extra_manifest={"curation_params": curation_params} if curation_params else None,
+    )
+
+
+def read_ledger(spark, out_dir: str, as_of: int | None = None) -> DataFrame:
+    """Manifest-gated ledger read; ``as_of`` = corpus-version time travel.
+
+    A ledger commit is a full SNAPSHOT of the corpus decision set (unlike the
+    append-mode triple table), so this reads exactly ONE commit: the newest
+    ledger commit with seq <= as_of (or the newest overall).
+    """
+    from kgtm.materialize import list_commits, read_table
+
+    ledgers = [
+        c
+        for c in list_commits(out_dir, spark)
+        if c.get("table") == "ledger" and (as_of is None or c["seq"] <= as_of)
+    ]
+    if not ledgers:
+        raise FileNotFoundError(f"no committed ledger under {out_dir}")
+    newest = ledgers[-1]["seq"]  # list_commits is seq-ordered
+    df = read_table(spark, out_dir, table="ledger", as_of=newest)
+    return df.filter(F.col("commit") == ledgers[-1]["commit_id"]).drop(
+        "kept_part", "commit"
+    )

@@ -82,7 +82,36 @@ def write_triples(
     partitions files are sized by AQE coalesce; pass n_output_partitions to
     force fewer, larger files.
     """
-    spark = triples.sparkSession
+    return write_table(
+        triples,
+        out_dir,
+        table="triples",
+        fmt=fmt,
+        partition_by=partition_by,
+        metrics=metrics,
+        n_output_partitions=n_output_partitions,
+    )
+
+
+def write_table(
+    df: DataFrame,
+    out_dir: str,
+    table: str = "triples",
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = ("source",),
+    metrics: MetricsCollector | None = None,
+    n_output_partitions: int | None = None,
+    extra_manifest: dict | None = None,
+) -> dict:
+    """Generic manifest-gated commit of any table into the store.
+
+    One store holds many named tables (triples, ledger, ...) sharing one
+    commit sequence — `read_table(as_of=seq)` time-travels each table to the
+    store state at that seq. ``extra_manifest`` entries are recorded verbatim
+    in the manifest (used e.g. for streaming epoch ids, enabling idempotent
+    re-runs).
+    """
+    spark = df.sparkSession
     commit_id = uuid.uuid4().hex[:12]
     # Iceberg-style commit protocol on plain parquet: each commit writes into
     # its OWN directory (triples/commit=<id>/...), and the commit becomes
@@ -92,16 +121,15 @@ def write_triples(
     # atomic metadata swap), and (b) `read_triples(as_of=seq)` time-travels
     # to any earlier commit — the output-store mirror of the reference's
     # versioned-ontology time machine.
-    data_path = _child(out_dir, "triples", f"commit={commit_id}")
+    data_path = _child(out_dir, table, f"commit={commit_id}")
 
-    df = triples
     if n_output_partitions:
         df = df.repartition(n_output_partitions, *partition_by)
 
     mc = metrics or MetricsCollector()
     with mc.stage("materialize") as rec:
         if fmt == "iceberg":
-            df.writeTo(f"kgtm.triples_{commit_id}").partitionedBy(
+            df.writeTo(f"kgtm.{table}_{commit_id}").partitionedBy(
                 *[F.col(c) for c in partition_by]
             ).createOrReplace()
         else:
@@ -117,9 +145,11 @@ def write_triples(
         out_dir,
         {
             "commit_id": commit_id,
+            "table": table,
             "format": fmt,
             "partition_by": list(partition_by),
             "stages": [r["stage"] for r in mc.rows],
+            **(extra_manifest or {}),
         },
     )
 
@@ -212,11 +242,24 @@ def read_triples(
     (half-written commits without a manifest are invisible); ``as_of`` reads
     the store as of that commit seq — time travel over the triple store.
     """
+    return read_table(spark, out_dir, table="triples", as_of=as_of)
+
+
+def read_table(
+    spark: SparkSession,
+    out_dir: str,
+    table: str = "triples",
+    as_of: int | None = None,
+) -> DataFrame:
+    """Manifest-gated read of one named table from the store; ``as_of`` reads
+    it as of that store-wide commit seq (time travel). Manifests written
+    before tables were named default to 'triples'."""
     commits = list_commits(out_dir, spark)
     if as_of is not None:
         commits = [c for c in commits if c.get("seq", 0) <= as_of]
+    commits = [c for c in commits if c.get("table", "triples") == table]
     paths = [
-        _child(out_dir, "triples", f"commit={c['commit_id']}")
+        _child(out_dir, table, f"commit={c['commit_id']}")
         for c in commits
     ]
     fs, jvm = _fs(spark, out_dir)
@@ -225,11 +268,11 @@ def read_triples(
     if not existing:
         # no committed data → empty frame with the store path's layout is
         # unknowable; raise like a missing-table read would
-        raise FileNotFoundError(f"no committed triples under {out_dir}")
+        raise FileNotFoundError(f"no committed {table} under {out_dir}")
     # basePath keeps partition discovery rooted at the store, so both the
-    # commit= and source= partition columns survive into the schema
+    # commit= and the user partition columns survive into the schema
     return (
-        spark.read.option("basePath", _child(out_dir, "triples"))
+        spark.read.option("basePath", _child(out_dir, table))
         .parquet(*existing)
     )
 

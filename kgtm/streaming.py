@@ -152,6 +152,52 @@ def run_stream_to_parquet(
     q.awaitTermination()
 
 
+def run_stream_to_commit_store(
+    resolved: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    table: str = "triples",
+    partition_by: tuple[str, ...] = ("source",),
+) -> None:
+    """Drain the stream into the manifest-gated commit store, exactly-once.
+
+    foreachBatch → one manifest commit per epoch id. foreachBatch is
+    at-least-once (a batch is REPLAYED after a crash between the write and
+    the checkpoint advance), so exactly-once is recovered by idempotence:
+    each commit manifest records its (table, batch_id), and a replayed batch
+    whose (table, batch_id) is already committed is skipped. Reruns after a
+    kill — or a full reprocess from a fresh checkpoint over the same input —
+    therefore produce no duplicate commits. The batch analog writes the same
+    manifests, so batch and streaming land in ONE time-travelable store.
+    """
+    from kgtm.materialize import list_commits, write_table
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        done = {
+            c.get("batch_id")
+            for c in list_commits(out_dir, batch_df.sparkSession)
+            if c.get("table", "triples") == table
+        }
+        if batch_id in done:
+            return  # replayed epoch: already committed, exactly-once holds
+        write_table(
+            batch_df,
+            out_dir,
+            table=table,
+            partition_by=partition_by,
+            extra_manifest={"batch_id": batch_id},
+        )
+
+    q = (
+        resolved.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_conv_progress(stream: DataFrame) -> DataFrame:
     """Custom stateful operator: per-conversation incremental progress.
 

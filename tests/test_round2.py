@@ -414,6 +414,39 @@ def test_corpus_curation_all_drop_reasons(spark):
     assert out[5].kept
 
 
+def test_curation_ledger_time_travel(spark, documents, tmp_path):
+    """Corpus versions time-travel through the commit store: each curation
+    run is one snapshot commit; read_ledger(as_of=seq) reproduces that run's
+    decision set exactly, and the latest read returns the newest run."""
+    from kgtm.curation import curate_documents, persist_ledger, read_ledger
+
+    docs = documents.limit(200)
+    store = str(tmp_path / "store")
+    l1 = curate_documents(docs, min_quality=0.45, jaccard_threshold=0.5)
+    c1 = persist_ledger(l1, store, min_quality=0.45, jaccard_threshold=0.5)
+    l2 = curate_documents(docs, min_quality=0.99)  # stricter: everything drops
+    c2 = persist_ledger(l2, store, min_quality=0.99)
+    assert c2["seq"] > c1["seq"]
+    assert c2["curation_params"]["min_quality"] == 0.99
+
+    cols = ["doc_id", "quality_score", "kept", "drop_reason"]
+
+    def snap(df):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    assert snap(read_ledger(spark, store, as_of=c1["seq"])) == snap(l1)
+    assert snap(read_ledger(spark, store)) == snap(l2)
+    # the two versions genuinely differ (else time travel proves nothing)
+    assert snap(l1) != snap(l2)
+    # ledger commits are invisible to the triples table and vice versa
+    import pytest as _pytest
+
+    from kgtm.materialize import read_table
+
+    with _pytest.raises(FileNotFoundError):
+        read_table(spark, store, table="triples")
+
+
 def test_lang_id_trigram_on_held_out_sentences():
     """The NB classifier must identify held-out sentences (none appear in
     LANG_SAMPLES) — strictly stronger than the marker-word heuristic, which

@@ -53,6 +53,44 @@ def test_stream_matches_batch_resolution(spark, events, stream_dirs):
     assert {(r.source, r["count"]) for r in g} == {(r.source, r["count"]) for r in b}
 
 
+def test_stream_commit_store_exactly_once(spark, events, stream_dirs, tmp_path):
+    """foreachBatch → manifest commit per epoch: a reprocess of the same
+    input from a FRESH checkpoint (the rerun-after-kill shape: epochs replay
+    with the same batch ids) must produce NO duplicate commits, and the
+    store read equals the batch resolution."""
+    from kgtm.materialize import list_commits, read_table
+    from kgtm.streaming import run_stream_to_commit_store
+
+    in_dir, _, ck_dir = stream_dirs
+    idx, snaps = ontology_index_df(spark), ontology_snapshots_df(spark)
+    store = str(tmp_path / "store")
+
+    resolved = streaming_resolution(read_transcript_stream(spark, in_dir), idx, snaps)
+    run_stream_to_commit_store(resolved, store, ck_dir)
+    commits1 = list_commits(store)
+    assert commits1 and all("batch_id" in c for c in commits1)
+    n1 = read_table(spark, store).count()
+
+    # batch twin: the store holds exactly the batch resolution's rows
+    tr = spark.read.parquet(in_dir)
+    batch = resolve_links(
+        link_mentions(extract_mentions(tr), idx), snaps, "latestArchived"
+    )
+    assert n1 == batch.count()
+
+    # rerun with the SAME checkpoint: no new input → no new commits
+    resolved2 = streaming_resolution(read_transcript_stream(spark, in_dir), idx, snaps)
+    run_stream_to_commit_store(resolved2, store, ck_dir)
+    assert len(list_commits(store)) == len(commits1)
+
+    # full reprocess from a FRESH checkpoint: same epochs replay with the
+    # same batch ids → every one is skipped as already-committed
+    resolved3 = streaming_resolution(read_transcript_stream(spark, in_dir), idx, snaps)
+    run_stream_to_commit_store(resolved3, store, str(tmp_path / "ck2"))
+    assert len(list_commits(store)) == len(commits1)
+    assert read_table(spark, store).count() == n1
+
+
 def test_stream_broadcast_ladder_large_dictionary(spark, events, stream_dirs):
     """The large-dictionary scale path (NOTES item 5): streaming with a
     10^5-entry dictionary must (a) plan as a broadcast join, not a 10^5-entry
