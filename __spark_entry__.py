@@ -321,6 +321,22 @@ def _q_accessibility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_accessibility_matrix_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-vs-proxy comparative matrix: the SAME request log resolved
+    without the proxy (mode='original' — every response is the pass-through
+    original) and through it (mode='latestArchived'), side by side
+    (aggregate_results.py:154-166 two process_data calls)."""
+    from kgtm.taxonomy import dual_accessibility_matrix
+
+    tr = _transcripts(spark, sf_dir)
+    linked = link_mentions(extract_mentions(tr), ontology_index_df(spark))
+    snaps = ontology_snapshots_df(spark)
+    return dual_accessibility_matrix(
+        resolve_links(linked, snaps, "original"),
+        resolve_links(linked, snaps, "latestArchived"),
+    )
+
+
 def _q_fully_linked_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.taxonomy import fully_linked_conversations
 
@@ -639,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_overlay": _q_config_overlay,
         "effective_accept": _q_effective_accept,
         "accessibility_matrix": _q_accessibility_matrix,
+        "accessibility_matrix_dual": _q_accessibility_matrix_dual,
         "fully_linked_convs": _q_fully_linked_convs,
         "dependency_closure": _q_dependency_closure,
         "gazetteer_mentions": _q_gazetteer_mentions,
@@ -692,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "config_overlay": oracles.q_config_overlay(),
         "effective_accept": oracles.q_effective_accept(),
         "accessibility_matrix": oracles.q_accessibility_matrix(),
+        "accessibility_matrix_dual": oracles.q_accessibility_matrix_dual(),
         "fully_linked_convs": oracles.q_fully_linked_convs(),
         "dependency_closure": oracles.q_dependency_closure(),
         "gazetteer_mentions": oracles.q_gazetteer_mentions(),

@@ -435,6 +435,38 @@ def q_accessibility_matrix() -> str:
     """
 
 
+def q_accessibility_matrix_dual() -> str:
+    """Direct-vs-proxy dual-log twin: the same links resolved as
+    mode='original' (source always 'original') and as latestArchived,
+    unioned with a run_mode tag and pivoted."""
+    cat = """
+      CASE WHEN NOT is_linked THEN 'unlinked'
+           WHEN source = 'not-found' THEN 'linked-no-snapshot'
+           WHEN rung = 0 THEN 'exact-linked'
+           ELSE 'normalized-linked' END
+    """
+    return f"""
+      WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES}, {LATEST_CTE},
+      direct AS (
+        SELECT l.is_linked, l.rung, 'original' AS source FROM links l),
+      proxy AS (
+        SELECT l.is_linked, l.rung,
+               CASE WHEN NOT l.is_linked THEN 'unlinked'
+                    WHEN t.snapshot_iri IS NULL THEN 'not-found'
+                    ELSE 'archivo-latest' END AS source
+        FROM links l LEFT JOIN latest t USING (ontology_iri)),
+      both_runs AS (
+        SELECT 'direct' AS run_mode, * FROM direct
+        UNION ALL
+        SELECT 'proxy', * FROM proxy)
+      SELECT {cat} AS category, source,
+             count(*) FILTER (WHERE run_mode = 'direct') AS direct,
+             count(*) FILTER (WHERE run_mode = 'proxy') AS proxy
+      FROM both_runs
+      GROUP BY 1, 2
+    """
+
+
 def q_fully_linked_convs() -> str:
     return f"""
       WITH {DUCKDB_TRANSCRIPTS_CTE}, {MENTION_LINK_CTES}

@@ -140,6 +140,43 @@ def accessibility_matrix(
     return piv.agg(F.count(F.lit(1))).na.fill(0)
 
 
+def dual_accessibility_matrix(
+    direct: DataFrame,
+    proxied: DataFrame,
+    modes: tuple[str, str] = ("direct", "proxy"),
+) -> DataFrame:
+    """Two-source comparative matrix — the dual-log aggregation stage
+    (aggregate_results.py:154-166: the same process_data runs over the
+    no-proxy and with-proxy logs and the two matrices print side by side).
+
+    Inputs are two resolved logs over the SAME requests (e.g.
+    resolve_links(..., 'original') vs resolve_links(..., 'latestArchived')).
+    Rows are (category, source) of the response-outcome taxonomy; columns
+    are per-run-mode counts, so the comparison ("with the proxy these
+    requests resolve to versioned snapshots; without it they are all
+    pass-through originals") is one DataFrame.
+    """
+    cat = (
+        F.when(~F.col("is_linked"), F.lit("unlinked"))
+        .when(F.col("source") == "not-found", F.lit("linked-no-snapshot"))
+        .when(F.col("rung") == 0, F.lit("exact-linked"))
+        .otherwise(F.lit("normalized-linked"))
+    )
+    both = direct.select(
+        F.lit(modes[0]).alias("run_mode"), cat.alias("category"), "source"
+    ).unionByName(
+        proxied.select(
+            F.lit(modes[1]).alias("run_mode"), cat.alias("category"), "source"
+        )
+    )
+    return (
+        both.groupBy("category", "source")
+        .pivot("run_mode", list(modes))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
 def fully_linked_conversations(resolved: DataFrame) -> DataFrame:
     """Two-level aggregation: conversations whose EVERY mention linked, per
     role coverage — the "correct for all 3 formats" conjunction analog

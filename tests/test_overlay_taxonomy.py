@@ -126,6 +126,34 @@ def test_category_and_matrix(spark):
     assert fl["c2"].fully_linked is False
 
 
+def test_dual_accessibility_matrix(spark):
+    """Direct-vs-proxy comparison (aggregate_results.py:154-166): the same
+    links resolved without the proxy are all pass-through originals; through
+    it they split into the versioned-outcome taxonomy — both visible in one
+    pivoted frame with identical per-mode totals."""
+    from kgtm.taxonomy import dual_accessibility_matrix
+
+    schema = "is_linked boolean, rung int, source string"
+    direct = spark.createDataFrame(
+        [(True, 0, "original"), (True, 2, "original"),
+         (False, None, "original"), (True, 0, "original")],
+        schema,
+    )
+    proxied = spark.createDataFrame(
+        [(True, 0, "archivo-latest"), (True, 2, "archivo-latest"),
+         (False, None, "unlinked"), (True, 0, "not-found")],
+        schema,
+    )
+    m = dual_accessibility_matrix(direct, proxied)
+    got = {(r.category, r.source): (r.direct, r.proxy) for r in m.collect()}
+    assert got[("exact-linked", "original")] == (2, 0)
+    assert got[("exact-linked", "archivo-latest")] == (0, 1)
+    assert got[("linked-no-snapshot", "not-found")] == (0, 1)
+    assert got[("unlinked", "original")] == (1, 0)
+    assert got[("unlinked", "unlinked")] == (0, 1)
+    assert sum(d for d, _ in got.values()) == sum(p for _, p in got.values()) == 4
+
+
 def test_is_rdf_mimetype(spark):
     df = spark.createDataFrame([("text/turtle",), ("image/png",)], "mime string")
     out = [r.ok for r in df.select(is_rdf_mimetype_col("mime").alias("ok")).collect()]
