@@ -397,6 +397,25 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(_docs(spark, sf_dir))
 
 
+def _q_curation_ledger_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version time travel, value-checked: commit the default-params
+    ledger, then a conflicting stricter run; read back AS OF the first
+    commit. The result must equal the ORIGINAL curation byte-for-byte (the
+    DuckDB twin of the default params), proving the newer commit does not
+    leak into historical reads. Versioned-snapshot semantics inherited from
+    the reference's hash-versioned dictionary (download_archivo_urls.py:41-46).
+    """
+    import tempfile
+
+    from kgtm.curation import curate_documents, persist_ledger, read_ledger
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="kgtm-ledger-gate-")
+    c1 = persist_ledger(curate_documents(docs), store, params="default")
+    persist_ledger(curate_documents(docs, min_quality=0.99), store, params="strict")
+    return read_ledger(spark, store, as_of=c1["seq"])
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.dedup import dedup_clusters, ngram_jaccard_pairs
 
@@ -664,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_metrics": _q_rollup_metrics,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_curation": _q_corpus_curation,
+        "curation_ledger_asof": _q_curation_ledger_asof,
         "request_lifecycle": _q_request_lifecycle,
         "failover_resolution": _q_failover_resolution,
         "asof_per_row": _q_asof_per_row,
@@ -718,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_metrics": oracles.q_rollup_metrics(),
         "dedup_clusters": oracles.q_dedup_clusters(0.5),
         "corpus_curation": oracles.q_corpus_curation(),
+        "curation_ledger_asof": oracles.q_corpus_curation(),
         "request_lifecycle": oracles.q_request_lifecycle(),
         "failover_resolution": oracles.q_failover_resolution(),
         "asof_per_row": oracles.q_asof_per_row(),

@@ -279,3 +279,73 @@ def read_table(
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(_child(out_dir, "metrics"))
+
+
+def expire_commits(
+    out_dir: str,
+    keep_last: int,
+    spark: SparkSession | None = None,
+) -> list[dict]:
+    """Expire all but the newest ``keep_last`` commits (snapshot expiry).
+
+    Unbounded time travel is unbounded storage: at one commit per streaming
+    epoch the store accretes forever. Expiry removes each victim's MANIFEST
+    FIRST (the atomic visibility switch — readers lose the commit instantly
+    and never see a half-deleted directory), then its data and metrics
+    directories. Reads with ``as_of`` older than the expiry horizon raise
+    FileNotFoundError like any missing table. Returns the expired manifests.
+    """
+    spark = _active_spark(spark)
+    commits = list_commits(out_dir, spark)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (a store needs a live commit)")
+    victims = commits[:-keep_last] if keep_last < len(commits) else []
+    fs, jvm = _fs(spark, out_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    for c in victims:
+        name = f"{c['seq']:010d}-{c['commit_id']}.json"
+        fs.delete(hpath(_child(out_dir, "_commits", name)), False)
+        table = c.get("table", "triples")
+        fs.delete(hpath(_child(out_dir, table, f"commit={c['commit_id']}")), True)
+        fs.delete(hpath(_child(out_dir, "metrics", f"commit={c['commit_id']}")), True)
+    return victims
+
+
+def vacuum(
+    out_dir: str,
+    min_age_ms: int = 24 * 3600 * 1000,
+    spark: SparkSession | None = None,
+) -> list[str]:
+    """Delete orphaned data directories: commit= dirs with NO manifest.
+
+    Orphans come from writers that crashed between the data write and the
+    manifest rename — invisible to readers (the manifest gate) but occupying
+    storage forever. Only orphans older than ``min_age_ms`` are removed so an
+    IN-FLIGHT writer (data written, manifest rename imminent) is never
+    vacuumed out from under — the same grace-period contract as Delta/Iceberg
+    VACUUM. Returns the deleted paths.
+    """
+    spark = _active_spark(spark)
+    committed = {c["commit_id"] for c in list_commits(out_dir, spark)}
+    fs, jvm = _fs(spark, out_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    now_ms = jvm.java.lang.System.currentTimeMillis()
+    deleted: list[str] = []
+    if not fs.exists(hpath(out_dir)):
+        return deleted
+    for tbl_status in fs.listStatus(hpath(out_dir)):
+        if not tbl_status.isDirectory():
+            continue
+        tbl = tbl_status.getPath().getName()
+        if tbl.startswith(("_", ".")) or tbl == "metrics":
+            continue
+        for status in fs.listStatus(tbl_status.getPath()):
+            name = status.getPath().getName()
+            if not name.startswith("commit="):
+                continue
+            commit_id = name.split("=", 1)[1]
+            age = now_ms - status.getModificationTime()
+            if commit_id not in committed and age >= min_age_ms:
+                fs.delete(status.getPath(), True)
+                deleted.append(_child(out_dir, tbl, name))
+    return deleted

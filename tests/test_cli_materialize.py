@@ -134,6 +134,42 @@ def test_manifest_seq_is_race_and_corruption_safe(spark, events, tmp_path):
     read_triples(spark, store)  # still readable end-to-end
 
 
+def test_expire_commits_and_vacuum(spark, events, tmp_path):
+    """Snapshot expiry keeps the newest N commits (older as_of reads now
+    raise); vacuum removes only STALE orphaned data dirs — manifested commits
+    and young (possibly in-flight) orphans survive."""
+    from kgtm.materialize import expire_commits, list_commits, vacuum
+
+    store = str(tmp_path / "store")
+    tr = events_to_transcripts(events)
+    triples = build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
+    n = triples.count()
+    c1 = write_triples(triples, store)
+    c2 = write_triples(triples, store)
+    c3 = write_triples(triples, store)
+
+    expired = expire_commits(store, keep_last=2)
+    assert [c["commit_id"] for c in expired] == [c1["commit_id"]]
+    assert [c["seq"] for c in list_commits(store)] == [c2["seq"], c3["seq"]]
+    assert read_triples(spark, store).count() == 2 * n
+    with pytest.raises(FileNotFoundError):
+        read_triples(spark, store, as_of=c1["seq"])
+    assert not (Path(store) / "triples" / f"commit={c1['commit_id']}").exists()
+
+    # orphan: data dir, no manifest (simulated crash before the rename)
+    orphan = Path(store) / "triples" / "commit=0ddba11c0de0"
+    orphan.mkdir(parents=True)
+    (orphan / "part-0.bin").write_bytes(b"x")
+    # a YOUNG orphan is protected by the grace period
+    assert vacuum(store, min_age_ms=3600 * 1000) == []
+    assert orphan.exists()
+    # past the grace period it goes; committed dirs stay
+    deleted = vacuum(store, min_age_ms=0)
+    assert deleted == [f"{store}/triples/commit=0ddba11c0de0"]
+    assert not orphan.exists()
+    assert read_triples(spark, store).count() == 2 * n
+
+
 def test_cli_end_to_end_subprocess(tmp_path):
     """Drive the real CLI as spark-submit would (fresh python == fresh JVM)."""
     corpus = tmp_path / "corpus"

@@ -121,7 +121,9 @@ def test_fuzz_incremental_relink_equals_full(spark):
         ).select(
             F.lit("c").alias("conv_id"),
             F.lit(0).alias("turn_idx"),
-            F.xxhash64("surface").alias("mention_id"),
+            # md5, not xxhash64: ids must be the v2 string format or the
+            # incremental_relink migration guard (rightly) rejects the table
+            F.md5("surface").alias("mention_id"),
             "surface",
             *parse_iri_cols("surface"),
         )
