@@ -171,36 +171,131 @@ winnow_fingerprint_udf = F.pandas_udf(
 # lang_id_col above stays as the simple oracle-checked marker heuristic)
 # ---------------------------------------------------------------------------
 
-# Embedded training samples — a handful of generic sentences per language,
-# enough for hashed-trigram profiles to separate these four languages.
+# Embedded training samples — three size-balanced paragraphs per language
+# (narrative, scene, everyday dialogue), enough for hashed-trigram profiles
+# to separate these eight languages on short text. Balance matters: an
+# oversized profile has fewer zero-count buckets and silently outbids close
+# neighbours (es vs pt/it) on sentences it has never seen.
 LANG_SAMPLES: dict[str, str] = {
     "en": (
         "the quick brown fox jumps over the lazy dog and the little children "
         "were playing in the garden while their mother was reading a book "
         "about the history of the world and everything that happened there "
         "this is a very important thing for all of the people who want to "
-        "understand what they are doing with their lives and their work"
+        "understand what they are doing with their lives and their work "
+        "in the morning the streets of the old city were quiet and the rain "
+        "had washed the stones clean a baker opened his shop and the smell "
+        "of fresh bread drifted across the square where an old man fed the "
+        "birds before the market began "
+        "i do not know if you can come tomorrow but we have to prepare "
+        "lunch and buy the vegetables and the fruit at the market before "
+        "the shops close tonight the children want to have dinner early "
+        "with the whole family at home"
     ),
     "es": (
         "el rapido zorro marron salta sobre el perro perezoso y los ninos "
         "pequenos estaban jugando en el jardin mientras su madre leia un "
         "libro sobre la historia del mundo y todo lo que sucedio alli esta "
         "es una cosa muy importante para todas las personas que quieren "
-        "entender lo que estan haciendo con sus vidas y su trabajo"
+        "entender lo que estan haciendo con sus vidas y su trabajo "
+        "por la manana las calles de la ciudad vieja estaban tranquilas y "
+        "la lluvia habia lavado las piedras un panadero abrio su tienda y "
+        "el olor del pan fresco cruzaba la plaza donde un hombre viejo daba "
+        "de comer a los pajaros antes de que empezara el mercado "
+        "necesito que me digas cuando vas a venir porque tenemos que "
+        "preparar la comida y comprar las verduras y las frutas en el "
+        "mercado antes de que cierren las tiendas esta noche los ninos "
+        "quieren cenar temprano con toda la familia en la casa"
     ),
     "de": (
         "der schnelle braune fuchs springt ueber den faulen hund und die "
         "kleinen kinder spielten im garten waehrend ihre mutter ein buch "
         "ueber die geschichte der welt las und alles was dort geschah das "
         "ist eine sehr wichtige sache fuer alle menschen die verstehen "
-        "wollen was sie mit ihrem leben und ihrer arbeit machen"
+        "wollen was sie mit ihrem leben und ihrer arbeit machen "
+        "am morgen waren die strassen der alten stadt ruhig und der regen "
+        "hatte die steine sauber gewaschen ein baecker oeffnete seinen laden "
+        "und der geruch von frischem brot zog ueber den platz wo ein alter "
+        "mann die voegel fuetterte bevor der markt begann "
+        "ich weiss nicht ob du morgen kommen kannst aber wir muessen das "
+        "mittagessen vorbereiten und das gemuese und das obst auf dem markt "
+        "kaufen bevor die laeden heute abend schliessen die kinder wollen "
+        "frueh mit der ganzen familie zu hause essen"
     ),
     "fr": (
         "le rapide renard brun saute par dessus le chien paresseux et les "
         "petits enfants jouaient dans le jardin pendant que leur mere lisait "
         "un livre sur l histoire du monde et tout ce qui s y est passe c est "
         "une chose tres importante pour toutes les personnes qui veulent "
-        "comprendre ce qu elles font de leur vie et de leur travail"
+        "comprendre ce qu elles font de leur vie et de leur travail "
+        "le matin les rues de la vieille ville etaient calmes et la pluie "
+        "avait lave les pierres un boulanger ouvrit sa boutique et l odeur "
+        "du pain frais traversait la place ou un vieil homme nourrissait les "
+        "oiseaux avant que le marche ne commence "
+        "je ne sais pas si tu peux venir demain mais nous devons preparer "
+        "le dejeuner et acheter les legumes et les fruits au marche avant "
+        "que les magasins ne ferment ce soir les enfants veulent diner tot "
+        "avec toute la famille a la maison"
+    ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro e i bambini "
+        "piccoli giocavano nel giardino mentre la loro madre leggeva un "
+        "libro sulla storia del mondo e tutto quello che accadde li questa "
+        "e una cosa molto importante per tutte le persone che vogliono "
+        "capire quello che fanno con le loro vite e il loro lavoro "
+        "la mattina le strade della vecchia citta erano tranquille e la "
+        "pioggia aveva lavato le pietre un fornaio apri il suo negozio e il "
+        "profumo del pane fresco attraversava la piazza dove un vecchio dava "
+        "da mangiare agli uccelli prima che iniziasse il mercato "
+        "non so se puoi venire domani ma dobbiamo preparare il pranzo e "
+        "comprare le verdure e la frutta al mercato prima che i negozi "
+        "chiudano stasera i bambini vogliono cenare presto con tutta la "
+        "famiglia a casa"
+    ),
+    "pt": (
+        "a rapida raposa marrom salta sobre o cao preguicoso e as criancas "
+        "pequenas estavam brincando no jardim enquanto sua mae lia um livro "
+        "sobre a historia do mundo e tudo o que aconteceu ali isto e uma "
+        "coisa muito importante para todas as pessoas que querem entender o "
+        "que estao fazendo com suas vidas e seu trabalho "
+        "de manha as ruas da cidade velha estavam tranquilas e a chuva "
+        "tinha lavado as pedras um padeiro abriu sua loja e o cheiro do pao "
+        "fresco atravessava a praca onde um homem velho alimentava os "
+        "passaros antes do comeco do mercado "
+        "nao sei se voce vai poder vir amanha mas temos que preparar o "
+        "almoco e comprar os legumes e as frutas no mercado antes que as "
+        "lojas fechem esta noite as criancas querem jantar cedo com toda a "
+        "familia em casa"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en de kleine "
+        "kinderen speelden in de tuin terwijl hun moeder een boek las over "
+        "de geschiedenis van de wereld en alles wat daar gebeurde dit is een "
+        "heel belangrijke zaak voor alle mensen die willen begrijpen wat ze "
+        "met hun leven en hun werk doen "
+        "in de ochtend waren de straten van de oude stad stil en de regen "
+        "had de stenen schoon gewassen een bakker opende zijn winkel en de "
+        "geur van vers brood trok over het plein waar een oude man de "
+        "vogels voerde voordat de markt begon "
+        "ik weet niet of je morgen kunt komen maar we moeten de lunch "
+        "voorbereiden en de groenten en het fruit op de markt kopen voordat "
+        "de winkels vanavond sluiten de kinderen willen vroeg eten met de "
+        "hele familie thuis"
+    ),
+    "sv": (
+        "den snabba bruna raven hoppar over den lata hunden och de sma "
+        "barnen lekte i tradgarden medan deras mor laste en bok om varldens "
+        "historia och allt som hande dar detta ar en mycket viktig sak for "
+        "alla manniskor som vill forsta vad de gor med sina liv och sitt "
+        "arbete "
+        "pa morgonen var gatorna i den gamla staden tysta och regnet hade "
+        "tvattat stenarna rena en bagare oppnade sin butik och doften av "
+        "farskt brod drog over torget dar en gammal man matade faglarna "
+        "innan marknaden borjade "
+        "jag vet inte om du kan komma i morgon men vi maste forbereda "
+        "lunchen och kopa gronsakerna och frukten pa marknaden innan "
+        "affarerna stanger i kvall barnen vill ata middag tidigt med hela "
+        "familjen hemma"
     ),
 }
 

@@ -191,7 +191,7 @@ def test_format_error_message_structure(lines):
 def test_winnow_and_langid_total_and_deterministic(texts):
     import pandas as pd
 
-    from kgtm.textstats import LANG_MARKERS, lang_id_trigram_series, winnow_fingerprint_series
+    from kgtm.textstats import LANG_SAMPLES, lang_id_trigram_series, winnow_fingerprint_series
 
     s = pd.Series(texts, dtype="object")
     a, b = winnow_fingerprint_series(s), winnow_fingerprint_series(s)
@@ -199,5 +199,5 @@ def test_winnow_and_langid_total_and_deterministic(texts):
     assert all(isinstance(v, int) for v in a.tolist())
 
     langs = lang_id_trigram_series(s).tolist()
-    allowed = set(LANG_MARKERS) | {"und"}
+    allowed = set(LANG_SAMPLES) | {"und"}
     assert all(v in allowed for v in langs)

@@ -462,6 +462,14 @@ def test_lang_id_trigram_on_held_out_sentences():
         "ich moechte naechste woche nach berlin fahren": "de",
         "la reunion de demain aura lieu au bureau principal": "fr",
         "je voudrais acheter des legumes frais pour le diner": "fr",
+        "vorrei comprare delle verdure fresche per la cena di stasera": "it",
+        "il treno per milano parte domani mattina dalla stazione": "it",
+        "preciso comprar legumes frescos para o jantar de hoje": "pt",
+        "o trem para lisboa sai amanha de manha da estacao": "pt",
+        "ik wil volgende week met de trein naar amsterdam reizen": "nl",
+        "het weer wordt morgen waarschijnlijk veel beter dan vandaag": "nl",
+        "jag skulle vilja aka tag till stockholm nasta vecka": "sv",
+        "vadret blir formodligen mycket battre i morgon an idag": "sv",
         "": "und",
         "xy": "und",
     }
