@@ -32,6 +32,7 @@ __all__ = [
     "read_triples",
     "write_table",
     "read_table",
+    "compact_table",
     "list_commits",
     "persist_ledger",
     "read_ledger",
@@ -63,7 +64,7 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm.resolve import resolve_links
 
         return resolve_links
-    if name in ("write_triples", "read_triples", "write_table", "read_table", "list_commits"):
+    if name in ("write_triples", "read_triples", "write_table", "read_table", "compact_table", "list_commits"):
         from kgtm import materialize
 
         return getattr(materialize, name)

@@ -250,14 +250,24 @@ def read_table(
     out_dir: str,
     table: str = "triples",
     as_of: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Manifest-gated read of one named table from the store; ``as_of`` reads
     it as of that store-wide commit seq (time travel). Manifests written
-    before tables were named default to 'triples'."""
+    before tables were named default to 'triples'.
+
+    A commit whose manifest carries ``replaces: [commit_ids]`` (a compaction)
+    HIDES those commits from any read that includes it — but an ``as_of``
+    older than the compaction still sees the originals, so time travel is
+    preserved across rewrites. ``merge_schema=True`` unions schemas across
+    commits (columns added by later writers read as NULL in older commits).
+    """
     commits = list_commits(out_dir, spark)
     if as_of is not None:
         commits = [c for c in commits if c.get("seq", 0) <= as_of]
     commits = [c for c in commits if c.get("table", "triples") == table]
+    replaced = {cid for c in commits for cid in c.get("replaces", [])}
+    commits = [c for c in commits if c["commit_id"] not in replaced]
     paths = [
         _child(out_dir, table, f"commit={c['commit_id']}")
         for c in commits
@@ -271,14 +281,71 @@ def read_table(
         raise FileNotFoundError(f"no committed {table} under {out_dir}")
     # basePath keeps partition discovery rooted at the store, so both the
     # commit= and the user partition columns survive into the schema
-    return (
-        spark.read.option("basePath", _child(out_dir, table))
-        .parquet(*existing)
-    )
+    reader = spark.read.option("basePath", _child(out_dir, table))
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*existing)
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(_child(out_dir, "metrics"))
+
+
+def compact_table(
+    spark: SparkSession,
+    out_dir: str,
+    table: str = "triples",
+    partition_by: tuple[str, ...] = ("source",),
+    n_output_partitions: int | None = None,
+) -> dict:
+    """Rewrite all LIVE commits of ``table`` into one commit (small-files
+    compaction — the answer to one-commit-per-epoch streaming sinks).
+
+    The compacted commit's manifest lists the inputs under ``replaces``, and
+    read_table hides replaced commits whenever the compaction is in view —
+    readers atomically switch from the N inputs to the one rewrite the
+    instant the manifest lands (never both, never neither). ``as_of`` reads
+    OLDER than the compaction still resolve the original commits, so time
+    travel survives the rewrite; the replaced data dirs themselves are
+    reclaimed later by expire_replaced/vacuum, not here.
+    """
+    commits = [
+        c
+        for c in list_commits(out_dir, spark)
+        if c.get("table", "triples") == table
+    ]
+    replaced = {cid for c in commits for cid in c.get("replaces", [])}
+    live = [c for c in commits if c["commit_id"] not in replaced]
+    if len(live) < 2:
+        raise ValueError(f"nothing to compact: {len(live)} live commit(s)")
+    df = read_table(spark, out_dir, table).drop("commit")
+    return write_table(
+        df,
+        out_dir,
+        table=table,
+        partition_by=partition_by,
+        n_output_partitions=n_output_partitions,
+        extra_manifest={"replaces": [c["commit_id"] for c in live]},
+    )
+
+
+def expire_replaced(out_dir: str, spark: SparkSession | None = None) -> list[dict]:
+    """Reclaim commits that a compaction has replaced (manifest first, then
+    data) — after this, ``as_of`` older than the compaction no longer
+    resolves them (the storage-for-history trade is explicit)."""
+    spark = _active_spark(spark)
+    commits = list_commits(out_dir, spark)
+    replaced_ids = {cid for c in commits for cid in c.get("replaces", [])}
+    victims = [c for c in commits if c["commit_id"] in replaced_ids]
+    fs, jvm = _fs(spark, out_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    for c in victims:
+        name = f"{c['seq']:010d}-{c['commit_id']}.json"
+        fs.delete(hpath(_child(out_dir, "_commits", name)), False)
+        table = c.get("table", "triples")
+        fs.delete(hpath(_child(out_dir, table, f"commit={c['commit_id']}")), True)
+        fs.delete(hpath(_child(out_dir, "metrics", f"commit={c['commit_id']}")), True)
+    return victims
 
 
 def expire_commits(

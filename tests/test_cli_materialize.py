@@ -170,6 +170,65 @@ def test_expire_commits_and_vacuum(spark, events, tmp_path):
     assert read_triples(spark, store).count() == 2 * n
 
 
+def test_compaction_replaces_and_preserves_time_travel(spark, events, tmp_path):
+    """compact_table rewrites N live commits into one: current reads switch
+    atomically to the rewrite (same rows, one data dir), as_of OLDER than the
+    compaction still sees the originals, and expire_replaced reclaims them."""
+    from kgtm.materialize import (
+        compact_table,
+        expire_replaced,
+        list_commits,
+        read_table,
+    )
+
+    store = str(tmp_path / "store")
+    tr = events_to_transcripts(events)
+    triples = build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
+    n = triples.count()
+    c1 = write_triples(triples, store)
+    write_triples(triples, store)
+    write_triples(triples, store)
+
+    comp = compact_table(spark, store)
+    assert len(comp["replaces"]) == 3
+    cur = read_table(spark, store)
+    assert cur.count() == 3 * n
+    # the current view reads ONLY the compacted commit
+    assert cur.select("commit").distinct().collect()[0][0] == comp["commit_id"]
+    # pre-compaction as_of still resolves the original commit
+    old = read_table(spark, store, as_of=c1["seq"])
+    assert old.count() == n
+    assert old.select("commit").distinct().collect()[0][0] == c1["commit_id"]
+
+    victims = expire_replaced(store)
+    assert {v["commit_id"] for v in victims} == set(comp["replaces"])
+    assert read_table(spark, store).count() == 3 * n
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, store, as_of=c1["seq"])
+    assert len(list_commits(store)) == 1
+
+    # nothing left to compact
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_table(spark, store)
+
+
+def test_read_table_merge_schema(spark, events, tmp_path):
+    """Schema evolution across commits: a later commit adds a column; the
+    merged read surfaces it with NULLs for older commits."""
+    from kgtm.materialize import read_table, write_table
+
+    store = str(tmp_path / "store")
+    tr = events_to_transcripts(events)
+    triples = build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
+    write_table(triples, store)
+    write_table(triples.withColumn("pipeline_ver", F.lit("v2")), store)
+
+    merged = read_table(spark, store, merge_schema=True)
+    assert "pipeline_ver" in merged.columns
+    counts = {r.pipeline_ver: r["count"] for r in merged.groupBy("pipeline_ver").count().collect()}
+    assert counts[None] == counts["v2"] == triples.count()
+
+
 def test_cli_end_to_end_subprocess(tmp_path):
     """Drive the real CLI as spark-submit would (fresh python == fresh JVM)."""
     corpus = tmp_path / "corpus"
