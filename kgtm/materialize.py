@@ -295,7 +295,7 @@ def compact_table(
     spark: SparkSession,
     out_dir: str,
     table: str = "triples",
-    partition_by: tuple[str, ...] = ("source",),
+    partition_by: tuple[str, ...] | None = None,
     n_output_partitions: int | None = None,
 ) -> dict:
     """Rewrite all LIVE commits of ``table`` into one commit (small-files
@@ -307,7 +307,8 @@ def compact_table(
     instant the manifest lands (never both, never neither). ``as_of`` reads
     OLDER than the compaction still resolve the original commits, so time
     travel survives the rewrite; the replaced data dirs themselves are
-    reclaimed later by expire_replaced/vacuum, not here.
+    reclaimed later by expire_replaced/vacuum, not here. ``partition_by``
+    defaults to the newest live commit's recorded partition spec.
     """
     commits = [
         c
@@ -318,6 +319,9 @@ def compact_table(
     live = [c for c in commits if c["commit_id"] not in replaced]
     if len(live) < 2:
         raise ValueError(f"nothing to compact: {len(live)} live commit(s)")
+    if partition_by is None:
+        # inherit the table's partition spec from the newest live commit
+        partition_by = tuple(live[-1].get("partition_by", ["source"]))
     df = read_table(spark, out_dir, table).drop("commit")
     return write_table(
         df,

@@ -62,15 +62,22 @@ idx, snaps = ontology_index_df(spark), ontology_snapshots_df(spark)
 # count-only bench: caching the intermediate would just burn memory here
 cfg = PipelineConfig(persist_intermediate=False)
 
+# best-of-N warm runs (first run is the discarded cold/codegen run): the box
+# is multi-tenant, and external interference only ever SLOWS a run — under
+# one-sided noise the fastest observation is the least-contaminated estimate
+# of the machine's capability at this core count, which is what a scaling
+# ratio must compare. Same KGTM_SCALE_REPS at both levels.
+reps = int(os.environ.get("KGTM_SCALE_REPS", "3"))
 times = []
 n = 0
-for _ in range(2):
+for _ in range(1 + reps):
     t0 = time.perf_counter()
     df = build_triples(tr, idx, snaps, cfg)
     n = df.count()
     times.append(time.perf_counter() - t0)
-sec = min(times)
+sec = min(times[1:])
 print(json.dumps({"cores": cores, "sec": round(sec, 3), "cold_sec": round(times[0], 3),
+                  "warm_secs": [round(t, 3) for t in times[1:]],
                   "n_triples": n, "triples_per_sec": round(n / sec, 1)}))
 spark.stop()
 """

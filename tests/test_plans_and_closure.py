@@ -31,6 +31,27 @@ def test_linking_uses_broadcast_join(spark, events):
     assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
 
 
+def test_broadcast_ladder_plan_is_one_broadcast_join_no_agg(spark, events):
+    """The large-dictionary ladder (link.broadcast_ladder_link) must plan as
+    exactly ONE broadcast hash join on the probe side with NO aggregation and
+    NO sort-merge join — the properties that make it append-safe in streaming
+    and O(1)-plan-size in |dictionary| (the map side aggregates on the STATIC
+    dictionary side only, before the broadcast exchange)."""
+    from kgtm.link import broadcast_ladder_link
+
+    tr = events_to_transcripts(events)
+    linked = broadcast_ladder_link(extract_mentions(tr), ontology_index_df(spark))
+    plan = _plan(linked)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # any HashAggregate must sit BELOW the broadcast exchange (dictionary
+    # prep), never above the join on the probe side
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "HashAggregate" not in probe_side
+    # probe side stays whole-stage-codegen (no Python UDF in the ladder)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_flagship_resolution_joins_broadcast(spark, events):
     tr = events_to_transcripts(events)
     out = build_triples(
