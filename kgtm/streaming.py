@@ -257,6 +257,32 @@ def run_stateful_progress(
     q.awaitTermination()
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    digest_cols: tuple[str, ...] = ("text",),
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state (the ingest-side twin of
+    dedup.exact_dedup).
+
+    dropDuplicatesWithinWatermark keys on the content digest and evicts
+    digest state once the watermark passes — a plain dropDuplicates would
+    hold every digest ever seen, which at a 100 TB/day ingest is an
+    unbounded state store. The trade is explicit and the same one every
+    streaming deduper makes: a duplicate arriving later than the watermark
+    delay after its first occurrence is re-emitted (batch exact_dedup over
+    the materialized table catches stragglers).
+    """
+    digest = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in digest_cols]))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("_digest", digest)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+
+
 def windowed_conv_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -170,6 +170,31 @@ def test_expire_commits_and_vacuum(spark, events, tmp_path):
     assert read_triples(spark, store).count() == 2 * n
 
 
+def test_truly_concurrent_writers_get_unique_seqs(spark, events, tmp_path):
+    """Eight ACTUAL concurrent writers (threads sharing the SparkSession —
+    Spark is thread-safe for job submission) race manifest publication on one
+    store: every commit must land with a unique seq and all data must be
+    readable afterwards."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kgtm.materialize import list_commits, read_table
+
+    store = str(tmp_path / "store")
+    tr = events_to_transcripts(events)
+    triples = build_triples(
+        tr, ontology_index_df(spark), ontology_snapshots_df(spark)
+    ).limit(50).localCheckpoint(eager=True)
+    n = triples.count()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        commits = list(pool.map(lambda _: write_triples(triples, store), range(8)))
+
+    seqs = sorted(c["seq"] for c in commits)
+    assert len(set(seqs)) == 8, seqs  # no duplicate seq under a real race
+    assert [c["seq"] for c in list_commits(store)] == seqs
+    assert read_table(spark, store).count() == 8 * n
+
+
 def test_compaction_replaces_and_preserves_time_travel(spark, events, tmp_path):
     """compact_table rewrites N live commits into one: current reads switch
     atomically to the rewrite (same rows, one data dir), as_of OLDER than the

@@ -53,6 +53,31 @@ def test_stream_matches_batch_resolution(spark, events, stream_dirs):
     assert {(r.source, r["count"]) for r in g} == {(r.source, r["count"]) for r in b}
 
 
+def test_streaming_exact_dedup_matches_batch(spark, events, stream_dirs, tmp_path):
+    """Streaming dedup on the content digest equals batch dropDuplicates over
+    the same (in-watermark) input: one survivor per distinct text, duplicates
+    planted across separate input files (i.e. across micro-batches)."""
+    from kgtm.streaming import streaming_exact_dedup
+
+    in_dir = str(tmp_path / "dedup_in")
+    # plant duplicates: the same transcript rows written TWICE as separate
+    # files so the duplicate arrives in a later micro-batch
+    base = events_to_transcripts(events).limit(300).localCheckpoint(eager=True)
+    base.write.mode("overwrite").parquet(in_dir)
+    base.write.mode("append").parquet(in_dir)
+
+    out_dir, ck = str(tmp_path / "dedup_out"), str(tmp_path / "dedup_ck")
+    deduped = streaming_exact_dedup(read_transcript_stream(spark, in_dir))
+    run_stream_to_parquet(deduped, out_dir, ck)
+    got = spark.read.parquet(out_dir)
+
+    want = spark.read.parquet(in_dir).dropDuplicates(["text"])
+    assert got.count() == want.count()
+    g = sorted(r.text for r in got.select("text").distinct().collect())
+    w = sorted(r.text for r in want.select("text").distinct().collect())
+    assert g == w
+
+
 def test_stream_commit_store_exactly_once(spark, events, stream_dirs, tmp_path):
     """foreachBatch → manifest commit per epoch: a reprocess of the same
     input from a FRESH checkpoint (the rerun-after-kill shape: epochs replay
