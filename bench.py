@@ -148,12 +148,11 @@ def main() -> None:
         # its plan) stays OUTSIDE the timed region — same methodology as
         # earlier rounds, so BENCH_rN deltas compare like with like
         df = qfns[name](spark, sf_dir)
-
-        def run(df=df):
-            force(df)
-            spark.catalog.clearCache()  # no cross-query/rep cache pollution
-
-        med, spread = timed_median(run)
+        # timed region is force(df) ONLY (the round-1/2 methodology); the
+        # cache clear runs between queries, outside the clock — noop-forced
+        # plans don't persist anything rep-to-rep
+        med, spread = timed_median(lambda df=df: force(df))
+        spark.catalog.clearCache()  # no cross-query cache pollution
         timings[name] = round(med, 3)
         spreads[name] = round(spread, 3)
 

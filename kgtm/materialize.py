@@ -23,9 +23,18 @@ from pyspark.sql import functions as F
 
 from kgtm.metrics import MetricsCollector
 
-# Manifest file name: zero-padded seq prefix so the claimed sequence number is
-# part of the (unique) file name — two writers can never both own a seq.
-_MANIFEST_RE = re.compile(r"^(\d{10})-([0-9a-f]+)\.json$")
+# Manifest file name: the zero-padded seq IS the whole name, so two writers
+# claiming the same seq collide on the SAME destination path and
+# rename-if-absent can arbitrate. (An earlier format suffixed the writer's
+# commit_id — which made destinations writer-unique, so no two writers ever
+# collided and "unique seq" was unenforced; the legacy suffix form is still
+# READ for stores written by that version.)
+_MANIFEST_RE = re.compile(r"^(\d{10})(-[0-9a-f]+)?\.json$")
+
+
+def _manifest_names(c: dict) -> list[str]:
+    """Candidate file names for a commit's manifest (canonical + legacy)."""
+    return [f"{c['seq']:010d}.json", f"{c['seq']:010d}-{c['commit_id']}.json"]
 
 
 def _child(base: str, *parts: str) -> str:
@@ -158,17 +167,20 @@ def _commit_manifest(spark: SparkSession, out_dir: str, commit: dict) -> dict:
     """Publish a commit manifest atomically through the Hadoop FileSystem.
 
     Protocol (the LogStore pattern — works on HDFS/ABFS where rename-if-absent
-    is atomic; on S3A pair it with a coordinating metastore, same as every
-    rename-based committer):
+    is atomic; on S3A or a POSIX local FS, whose renames overwrite, the
+    exists+rename pair narrows but cannot close the window — pair those
+    filesystems with a coordinating metastore, same as every rename-based
+    committer):
       1. write the full manifest JSON to a dot-prefixed temp file (readers
          skip dot/underscore names, so a crash mid-write is invisible),
       2. claim seq = max(committed seq) + 1 by renaming the temp file to the
-         seq-named destination `{seq:010d}-{commit_id}.json`; if the
-         destination already exists (a concurrent writer won), re-stamp the
-         manifest with the next seq and retry.
-    `seq` lives in the file NAME, so duplicate seqs are structurally
-    impossible — unlike the old count-of-files scheme, deleting a manifest
-    can never cause a later commit to reuse an existing seq.
+         destination `{seq:010d}.json` — the seq IS the whole destination
+         name, so two writers claiming one seq collide on the SAME path and
+         exactly one rename wins; the loser re-stamps its manifest with the
+         next seq and retries.
+    The commit_id lives in the manifest CONTENT, never in the destination
+    name — a writer-unique name would make collisions impossible and the
+    uniqueness guarantee vacuous.
     """
     commits_dir = _child(out_dir, "_commits")
     fs, jvm = _fs(spark, commits_dir)
@@ -181,7 +193,7 @@ def _commit_manifest(spark: SparkSession, out_dir: str, commit: dict) -> dict:
     while True:
         commit["seq"] = seq
         _write_bytes(spark, tmp, json.dumps(commit).encode())
-        dst = hpath(_child(commits_dir, f"{seq:010d}-{commit_id}.json"))
+        dst = hpath(_child(commits_dir, f"{seq:010d}.json"))
         if not fs.exists(dst) and fs.rename(hpath(tmp), dst):
             return commit
         seq += 1  # lost the race for this seq — claim the next one
@@ -213,10 +225,13 @@ def list_commits(out_dir: str, spark: SparkSession | None = None) -> list[dict]:
     """Committed manifests, ordered by seq (the visible snapshot history).
 
     Reads through the Hadoop FileSystem (object-store safe). Dot/underscore
-    temp files and unparsable manifests (a writer crashed mid-write before the
-    atomic rename, or bitrot) are skipped, so a broken file can never take the
-    whole store down for readers.
+    temp files, unparsable manifests (a writer crashed mid-write before the
+    atomic rename, or bitrot), and manifests deleted between listing and
+    open (a concurrent expire) are all skipped, so a broken or racing file
+    can never take the whole store down for readers.
     """
+    from py4j.protocol import Py4JError
+
     spark = _active_spark(spark)
     commits_dir = _child(out_dir, "_commits")
     fs, jvm = _fs(spark, commits_dir)
@@ -230,7 +245,10 @@ def list_commits(out_dir: str, spark: SparkSession | None = None) -> list[dict]:
             continue
         try:
             commits.append(json.loads(_read_bytes(spark, _child(commits_dir, name))))
-        except (ValueError, OSError):  # truncated/corrupt manifest: skip
+        except (ValueError, OSError, Py4JError):
+            # truncated/corrupt manifest, or deleted after listStatus by a
+            # concurrent expire (surfaces as a JVM FileNotFoundException
+            # wrapped in a Py4JError): skip
             continue
     return sorted(commits, key=lambda c: c.get("seq", 0))
 
@@ -333,6 +351,17 @@ def compact_table(
     )
 
 
+def _delete_commit(fs, hpath, out_dir: str, c: dict) -> None:
+    """Remove one commit: manifest FIRST (the atomic visibility switch —
+    readers lose the commit instantly and never see a half-deleted
+    directory), then its data and metrics directories."""
+    for name in _manifest_names(c):  # canonical + legacy manifest names
+        fs.delete(hpath(_child(out_dir, "_commits", name)), False)
+    table = c.get("table", "triples")
+    fs.delete(hpath(_child(out_dir, table, f"commit={c['commit_id']}")), True)
+    fs.delete(hpath(_child(out_dir, "metrics", f"commit={c['commit_id']}")), True)
+
+
 def expire_replaced(out_dir: str, spark: SparkSession | None = None) -> list[dict]:
     """Reclaim commits that a compaction has replaced (manifest first, then
     data) — after this, ``as_of`` older than the compaction no longer
@@ -344,11 +373,7 @@ def expire_replaced(out_dir: str, spark: SparkSession | None = None) -> list[dic
     fs, jvm = _fs(spark, out_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     for c in victims:
-        name = f"{c['seq']:010d}-{c['commit_id']}.json"
-        fs.delete(hpath(_child(out_dir, "_commits", name)), False)
-        table = c.get("table", "triples")
-        fs.delete(hpath(_child(out_dir, table, f"commit={c['commit_id']}")), True)
-        fs.delete(hpath(_child(out_dir, "metrics", f"commit={c['commit_id']}")), True)
+        _delete_commit(fs, hpath, out_dir, c)
     return victims
 
 
@@ -357,28 +382,28 @@ def expire_commits(
     keep_last: int,
     spark: SparkSession | None = None,
 ) -> list[dict]:
-    """Expire all but the newest ``keep_last`` commits (snapshot expiry).
+    """Expire all but the newest ``keep_last`` commits PER TABLE.
 
     Unbounded time travel is unbounded storage: at one commit per streaming
-    epoch the store accretes forever. Expiry removes each victim's MANIFEST
-    FIRST (the atomic visibility switch — readers lose the commit instantly
-    and never see a half-deleted directory), then its data and metrics
-    directories. Reads with ``as_of`` older than the expiry horizon raise
-    FileNotFoundError like any missing table. Returns the expired manifests.
+    epoch the store accretes forever. keep_last is enforced per table — the
+    store's commit sequence is shared across tables, so a store-wide cut
+    could delete every commit of a quiet table just because a busy one kept
+    committing. Deletion is manifest-first (see _delete_commit). Reads with
+    ``as_of`` older than the expiry horizon raise FileNotFoundError like any
+    missing table. Returns the expired manifests.
     """
     spark = _active_spark(spark)
     commits = list_commits(out_dir, spark)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (a store needs a live commit)")
-    victims = commits[:-keep_last] if keep_last < len(commits) else []
+    by_table: dict[str, list[dict]] = {}
+    for c in commits:  # list_commits is seq-ordered, so groups stay ordered
+        by_table.setdefault(c.get("table", "triples"), []).append(c)
+    victims = [c for cs in by_table.values() for c in cs[:-keep_last]]
     fs, jvm = _fs(spark, out_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     for c in victims:
-        name = f"{c['seq']:010d}-{c['commit_id']}.json"
-        fs.delete(hpath(_child(out_dir, "_commits", name)), False)
-        table = c.get("table", "triples")
-        fs.delete(hpath(_child(out_dir, table, f"commit={c['commit_id']}")), True)
-        fs.delete(hpath(_child(out_dir, "metrics", f"commit={c['commit_id']}")), True)
+        _delete_commit(fs, hpath, out_dir, c)
     return victims
 
 
@@ -387,7 +412,9 @@ def vacuum(
     min_age_ms: int = 24 * 3600 * 1000,
     spark: SparkSession | None = None,
 ) -> list[str]:
-    """Delete orphaned data directories: commit= dirs with NO manifest.
+    """Delete orphaned directories: commit= dirs with NO manifest, under
+    every table AND under metrics/ (write_table writes both before the
+    manifest rename, so a crash orphans them in pairs).
 
     Orphans come from writers that crashed between the data write and the
     manifest rename — invisible to readers (the manifest gate) but occupying
@@ -408,7 +435,7 @@ def vacuum(
         if not tbl_status.isDirectory():
             continue
         tbl = tbl_status.getPath().getName()
-        if tbl.startswith(("_", ".")) or tbl == "metrics":
+        if tbl.startswith(("_", ".")):
             continue
         for status in fs.listStatus(tbl_status.getPath()):
             name = status.getPath().getName()

@@ -159,34 +159,56 @@ def run_stream_to_commit_store(
     table: str = "triples",
     partition_by: tuple[str, ...] = ("source",),
 ) -> None:
-    """Drain the stream into the manifest-gated commit store, exactly-once.
+    """Drain the stream into the manifest-gated commit store, exactly-once
+    PER CHECKPOINT LINEAGE.
 
     foreachBatch → one manifest commit per epoch id. foreachBatch is
     at-least-once (a batch is REPLAYED after a crash between the write and
     the checkpoint advance), so exactly-once is recovered by idempotence:
-    each commit manifest records its (table, batch_id), and a replayed batch
-    whose (table, batch_id) is already committed is skipped. Reruns after a
-    kill — or a full reprocess from a fresh checkpoint over the same input —
-    therefore produce no duplicate commits. The batch analog writes the same
-    manifests, so batch and streaming land in ONE time-travelable store.
+    each manifest records (table, sink_id, batch_id) where sink_id is
+    derived from the checkpoint location — the stable identity of one
+    logical stream across restarts. A replayed epoch of the SAME lineage is
+    skipped; a DIFFERENT stream (different checkpoint) writing the same
+    store/table gets its own sink_id and commits normally — keying on the
+    bare epoch number would silently drop a second stream's (or a
+    fresh-checkpoint reprocess's differently-sliced) epochs as "already
+    done". The batch analog writes the same manifests, so batch and
+    streaming land in ONE time-travelable store; duplicate data from an
+    intentional reprocess is reconciled by compact_table/expire, not by
+    guessing at the sink.
     """
+    import hashlib
+
     from kgtm.materialize import list_commits, write_table
 
+    sink_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    # Only THIS lineage appends (sink_id, batch_id) pairs between its own
+    # epochs, so the done-set is read once at query start and maintained
+    # locally — not re-listed per epoch (O(epochs^2) manifest reads).
+    done: set[int] = set()
+    primed = False
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        done = {
-            c.get("batch_id")
-            for c in list_commits(out_dir, batch_df.sparkSession)
-            if c.get("table", "triples") == table
-        }
+        nonlocal primed
+        if not primed:
+            done.update(
+                c["batch_id"]
+                for c in list_commits(out_dir, batch_df.sparkSession)
+                if c.get("table", "triples") == table
+                and c.get("sink_id") == sink_id
+                and "batch_id" in c
+            )
+            primed = True
         if batch_id in done:
-            return  # replayed epoch: already committed, exactly-once holds
+            return  # replayed epoch of this lineage: exactly-once holds
         write_table(
             batch_df,
             out_dir,
             table=table,
             partition_by=partition_by,
-            extra_manifest={"batch_id": batch_id},
+            extra_manifest={"batch_id": batch_id, "sink_id": sink_id},
         )
+        done.add(batch_id)
 
     q = (
         resolved.writeStream.foreachBatch(sink)
@@ -273,8 +295,29 @@ def streaming_exact_dedup(
     streaming deduper makes: a duplicate arriving later than the watermark
     delay after its first occurrence is re-emitted (batch exact_dedup over
     the materialized table catches stragglers).
+
+    NULL and '' must hash differently (batch exact_dedup's md5(text) keeps a
+    NULL digest group distinct from md5('')): each column is encoded with a
+    length prefix, so NULL ('n'), '' ('s0:'), and any value collision-freely
+    disagree — plain coalesce-to-'' would dedup a NULL row against an
+    empty-string row that has different content.
     """
-    digest = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in digest_cols]))
+    digest = F.md5(
+        F.concat(
+            *[
+                F.when(F.col(c).isNull(), F.lit("n\x1f")).otherwise(
+                    F.concat(
+                        F.lit("s"),
+                        F.length(F.col(c).cast("string")).cast("string"),
+                        F.lit(":"),
+                        F.col(c).cast("string"),
+                        F.lit("\x1f"),
+                    )
+                )
+                for c in digest_cols
+            ]
+        )
+    )
     return (
         stream.withWatermark(ts_col, watermark)
         .withColumn("_digest", digest)

@@ -110,23 +110,31 @@ def test_manifest_seq_is_race_and_corruption_safe(spark, events, tmp_path):
 
     # delete the FIRST manifest: next commit must take max+1 (=2), never
     # reuse c2's seq the way `count of files` would
-    (commits_dir / f"{c1['seq']:010d}-{c1['commit_id']}.json").unlink()
+    (commits_dir / f"{c1['seq']:010d}.json").unlink()
     c3 = write_triples(triples, store)
     assert c3["seq"] == c2["seq"] + 1
     seqs = [c["seq"] for c in list_commits(store)]
     assert len(seqs) == len(set(seqs)) and seqs == sorted(seqs)
 
-    # a concurrent writer already claimed the next seq → this writer must
-    # detect the occupied name and land on the one after
+    # a concurrent writer already claimed the next seq — the destination
+    # name is the SEQ ALONE, so this writer collides on the same path and
+    # must land on the one after
     taken = c3["seq"] + 1
-    (commits_dir / f"{taken:010d}-cafecafecafe.json").write_text(
+    (commits_dir / f"{taken:010d}.json").write_text(
         '{"commit_id": "cafecafecafe", "seq": %d}' % taken
     )
     c4 = write_triples(triples, store)
     assert c4["seq"] == taken + 1
 
+    # legacy-suffix manifests are still read (old stores stay readable)
+    legacy_seq = c4["seq"] + 1
+    (commits_dir / f"{legacy_seq:010d}-feedfacebeef.json").write_text(
+        '{"commit_id": "feedfacebeef", "seq": %d, "table": "triples"}' % legacy_seq
+    )
+    assert any(c["commit_id"] == "feedfacebeef" for c in list_commits(store))
+
     # truncated manifest + leftover temp file: readers skip both
-    (commits_dir / f"{c4['seq'] + 1:010d}-0123456789ab.json").write_text('{"comm')
+    (commits_dir / f"{legacy_seq + 1:010d}-0123456789ab.json").write_text('{"comm')
     (commits_dir / ".tmp-deadbeef.json").write_text("{}")
     visible = list_commits(store)
     assert {c["commit_id"] for c in visible} >= {c2["commit_id"], c3["commit_id"], c4["commit_id"]}
@@ -140,6 +148,8 @@ def test_expire_commits_and_vacuum(spark, events, tmp_path):
     and young (possibly in-flight) orphans survive."""
     from kgtm.materialize import expire_commits, list_commits, vacuum
 
+    from kgtm.materialize import read_table, write_table
+
     store = str(tmp_path / "store")
     tr = events_to_transcripts(events)
     triples = build_triples(tr, ontology_index_df(spark), ontology_snapshots_df(spark))
@@ -147,10 +157,14 @@ def test_expire_commits_and_vacuum(spark, events, tmp_path):
     c1 = write_triples(triples, store)
     c2 = write_triples(triples, store)
     c3 = write_triples(triples, store)
+    # a second, QUIET table sharing the store: keep_last is per table, so
+    # the busy triples table must not expire the ledger's only commit
+    lg = write_table(triples.limit(3), store, table="ledger")
 
     expired = expire_commits(store, keep_last=2)
     assert [c["commit_id"] for c in expired] == [c1["commit_id"]]
-    assert [c["seq"] for c in list_commits(store)] == [c2["seq"], c3["seq"]]
+    assert [c["seq"] for c in list_commits(store)] == [c2["seq"], c3["seq"], lg["seq"]]
+    assert read_table(spark, store, table="ledger").count() == 3
     assert read_triples(spark, store).count() == 2 * n
     with pytest.raises(FileNotFoundError):
         read_triples(spark, store, as_of=c1["seq"])
@@ -163,10 +177,17 @@ def test_expire_commits_and_vacuum(spark, events, tmp_path):
     # a YOUNG orphan is protected by the grace period
     assert vacuum(store, min_age_ms=3600 * 1000) == []
     assert orphan.exists()
-    # past the grace period it goes; committed dirs stay
+    # a crashed writer orphans the METRICS twin too — vacuum sweeps both
+    m_orphan = Path(store) / "metrics" / "commit=0ddba11c0de0"
+    m_orphan.mkdir(parents=True)
+    (m_orphan / "part-0.bin").write_bytes(b"x")
+    # past the grace period both go; committed dirs stay
     deleted = vacuum(store, min_age_ms=0)
-    assert deleted == [f"{store}/triples/commit=0ddba11c0de0"]
-    assert not orphan.exists()
+    assert set(deleted) == {
+        f"{store}/triples/commit=0ddba11c0de0",
+        f"{store}/metrics/commit=0ddba11c0de0",
+    }
+    assert not orphan.exists() and not m_orphan.exists()
     assert read_triples(spark, store).count() == 2 * n
 
 

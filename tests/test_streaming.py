@@ -77,12 +77,28 @@ def test_streaming_exact_dedup_matches_batch(spark, events, stream_dirs, tmp_pat
     w = sorted(r.text for r in want.select("text").distinct().collect())
     assert g == w
 
+    # NULL and '' are DIFFERENT contents and must both survive (the digest
+    # length-prefix encoding; a coalesce-to-'' digest would drop one)
+    import datetime as dt
+
+    null_in = str(tmp_path / "null_in")
+    spark.createDataFrame(
+        [("c", 0, "user", None, None, dt.datetime(2024, 7, 1)),
+         ("c", 1, "user", "", None, dt.datetime(2024, 7, 1))],
+        TRANSCRIPTS_SCHEMA,
+    ).write.parquet(null_in)
+    out2, ck2 = str(tmp_path / "null_out"), str(tmp_path / "null_ck")
+    run_stream_to_parquet(
+        streaming_exact_dedup(read_transcript_stream(spark, null_in)), out2, ck2
+    )
+    assert spark.read.parquet(out2).count() == 2
+
 
 def test_stream_commit_store_exactly_once(spark, events, stream_dirs, tmp_path):
-    """foreachBatch → manifest commit per epoch: a reprocess of the same
-    input from a FRESH checkpoint (the rerun-after-kill shape: epochs replay
-    with the same batch ids) must produce NO duplicate commits, and the
-    store read equals the batch resolution."""
+    """foreachBatch → manifest commit per epoch, exactly-once PER CHECKPOINT
+    LINEAGE: a rerun on the same checkpoint (the rerun-after-kill shape)
+    adds no commits; a DIFFERENT lineage targeting the same store/table is
+    NOT silently dropped — its epochs commit under its own sink_id."""
     from kgtm.materialize import list_commits, read_table
     from kgtm.streaming import run_stream_to_commit_store
 
@@ -93,7 +109,7 @@ def test_stream_commit_store_exactly_once(spark, events, stream_dirs, tmp_path):
     resolved = streaming_resolution(read_transcript_stream(spark, in_dir), idx, snaps)
     run_stream_to_commit_store(resolved, store, ck_dir)
     commits1 = list_commits(store)
-    assert commits1 and all("batch_id" in c for c in commits1)
+    assert commits1 and all("batch_id" in c and "sink_id" in c for c in commits1)
     n1 = read_table(spark, store).count()
 
     # batch twin: the store holds exactly the batch resolution's rows
@@ -103,17 +119,21 @@ def test_stream_commit_store_exactly_once(spark, events, stream_dirs, tmp_path):
     )
     assert n1 == batch.count()
 
-    # rerun with the SAME checkpoint: no new input → no new commits
+    # rerun with the SAME checkpoint (same lineage): no new input → the
+    # replayable epochs are all recorded under this sink_id → no new commits
     resolved2 = streaming_resolution(read_transcript_stream(spark, in_dir), idx, snaps)
     run_stream_to_commit_store(resolved2, store, ck_dir)
     assert len(list_commits(store)) == len(commits1)
 
-    # full reprocess from a FRESH checkpoint: same epochs replay with the
-    # same batch ids → every one is skipped as already-committed
+    # a SECOND lineage (fresh checkpoint) over the same input: its epoch 0
+    # must NOT be mistaken for lineage 1's epoch 0 — data lands (duplicated
+    # content is an intentional reprocess, reconciled by compaction/expire,
+    # never by silently dropping a different stream's epochs)
     resolved3 = streaming_resolution(read_transcript_stream(spark, in_dir), idx, snaps)
     run_stream_to_commit_store(resolved3, store, str(tmp_path / "ck2"))
-    assert len(list_commits(store)) == len(commits1)
-    assert read_table(spark, store).count() == n1
+    commits3 = list_commits(store)
+    assert len({c["sink_id"] for c in commits3}) == 2
+    assert read_table(spark, store).count() == 2 * n1
 
 
 def test_stream_broadcast_ladder_large_dictionary(spark, events, stream_dirs):
