@@ -397,6 +397,22 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(_docs(spark, sf_dir))
 
 
+INCREMENTAL_CURATE_SPLIT = 300
+
+
+def _q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only batch curation: docs with id >= split arrive as a new
+    batch over the already-curated prefix; the incremental decisions must
+    equal the full-run DuckDB twin restricted to the batch (the exact-parity
+    contract of kgtm.curation.incremental_curate)."""
+    from kgtm.curation import curate_documents, incremental_curate
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < INCREMENTAL_CURATE_SPLIT)
+    new = docs.filter(F.col("doc_id") >= INCREMENTAL_CURATE_SPLIT)
+    return incremental_curate(old, curate_documents(old), new)
+
+
 def _q_curation_ledger_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-version time travel, value-checked: commit the default-params
     ledger, then a conflicting stricter run; read back AS OF the first
@@ -684,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "corpus_curation": _q_corpus_curation,
         "curation_ledger_asof": _q_curation_ledger_asof,
+        "incremental_curation": _q_incremental_curation,
         "request_lifecycle": _q_request_lifecycle,
         "failover_resolution": _q_failover_resolution,
         "asof_per_row": _q_asof_per_row,
@@ -739,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracles.q_dedup_clusters(0.5),
         "corpus_curation": oracles.q_corpus_curation(),
         "curation_ledger_asof": oracles.q_corpus_curation(),
+        "incremental_curation": f"SELECT * FROM ({oracles.q_corpus_curation()}) WHERE doc_id >= {INCREMENTAL_CURATE_SPLIT}",
         "request_lifecycle": oracles.q_request_lifecycle(),
         "failover_resolution": oracles.q_failover_resolution(),
         "asof_per_row": oracles.q_asof_per_row(),

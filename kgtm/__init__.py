@@ -24,6 +24,7 @@ __all__ = [
     "generate",
     "SynthConfig",
     "curate_documents",
+    "incremental_curate",
     "incremental_relink",
     "link_mentions",
     "broadcast_ladder_link",
@@ -52,7 +53,7 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm import synth
 
         return getattr(synth, name)
-    if name in ("curate_documents", "persist_ledger", "read_ledger"):
+    if name in ("curate_documents", "incremental_curate", "persist_ledger", "read_ledger"):
         from kgtm import curation
 
         return getattr(curation, name)

@@ -90,6 +90,133 @@ def curate_documents(
     )
 
 
+def incremental_curate(
+    old_docs: DataFrame,
+    old_ledger: DataFrame,
+    new_docs: DataFrame,
+    min_quality: float = 0.45,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curate ONLY a newly-arrived batch against an already-curated corpus:
+    ledger rows for the new docs, with EXACT full-run parity.
+
+    The append-only production shape: prior decisions are immutable (the
+    ledger is the audit log); a new batch must not re-curate the world. Cost
+    scales with the batch — the near-dup candidate join is probe-driven
+    (ngram_jaccard_pairs_probe: pairs touching new docs only, never
+    old×old), exact dedup is a digest join of the batch against prior
+    high-quality digests, and the quality gate is batch-local.
+
+    Parity contract (provable given monotone ids, enforced below): for every
+    NEW doc, (kept, drop_reason, quality_score) equal what a full
+    curate_documents over old∪new would produce. Old×old near-dup edges can
+    only merge components that each already contain an old doc — and ANY
+    old member (id < every new id) drops a new doc — so omitting them never
+    flips a new doc's decision. Old docs' rows are NOT recomputed: a new
+    bridge that would merge two old clusters in a full re-run leaves both
+    old survivors standing here (ledger immutability, by design).
+    """
+    from kgtm.dedup import dedup_clusters, ngram_jaccard_pairs_probe
+
+    bounds = (
+        old_docs.select(F.max(id_col).alias("mx"))
+        .crossJoin(new_docs.select(F.min(id_col).alias("mn")))
+        .first()
+    )
+    if bounds.mx is not None and bounds.mn is not None and bounds.mx >= bounds.mn:
+        raise ValueError(
+            "incremental_curate requires monotone ids: every new doc_id must "
+            f"exceed all old ones (old max {bounds.mx} >= new min {bounds.mn})"
+            " — the exact-parity proof leans on old ids always winning the "
+            "min-id survivor pick"
+        )
+
+    scored_new = quality_features(new_docs.select(id_col, text_col)).select(
+        id_col, text_col, F.round("quality_score", 6).alias("quality_score")
+    )
+    hq_new = scored_new.filter(F.col("quality_score") >= min_quality)
+
+    # exact stage: the batch's digests vs prior HIGH-QUALITY digests (old
+    # exact- and near-dup-dropped docs still occupy their digest groups in a
+    # full run; only quality-dropped old docs never entered the groupBy)
+    old_hq = old_docs.join(
+        old_ledger.filter(
+            F.col("drop_reason").isNull() | (F.col("drop_reason") != "low-quality")
+        ).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    old_digests = old_hq.select(F.md5(F.col(text_col)).alias("_dg")).distinct()
+    new_digests = hq_new.select(id_col, F.md5(F.col(text_col)).alias("_dg"))
+    grp = new_digests.groupBy("_dg").agg(F.min(id_col).alias("_keep"))
+    # keeper = min new id of the digest group AND the digest is unseen in the
+    # corpus (a digest already in old always wins: old ids are smaller)
+    exact_kept = (
+        new_digests.join(grp, "_dg")
+        .join(old_digests.withColumn("_in_old", F.lit(True)), "_dg", "left")
+        .select(
+            id_col,
+            (
+                F.col("_in_old").isNull() & (F.col(id_col) == F.col("_keep"))
+            ).alias("_exact_keep"),
+        )
+    )
+    new_survived_exact = exact_kept.filter("_exact_keep").select(id_col)
+
+    # near-dup stage: graph participants of the full run = exact-survivors
+    # on both sides (old side: ledger kept + near-dup-dropped — both passed
+    # the exact stage and sit in the full run's pair graph)
+    old_participants = old_docs.join(
+        old_ledger.filter(
+            F.col("kept") | (F.col("drop_reason") == "near-dup")
+        ).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    graph_docs = old_participants.select(id_col, text_col).unionByName(
+        hq_new.join(new_survived_exact, id_col, "left_semi").select(id_col, text_col)
+    )
+    pairs = ngram_jaccard_pairs_probe(
+        graph_docs,
+        new_survived_exact,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=jaccard_threshold,
+    )
+    # node universe: new exact-survivors + only the OLD docs that appear in
+    # a pair (an old doc in no probe pair cannot affect any new decision)
+    pair_nodes = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    nodes = new_survived_exact.unionByName(pair_nodes).distinct()
+    clusters = dedup_clusters(pairs, nodes, id_col=id_col)
+
+    ledger = (
+        scored_new.select(id_col, "quality_score")
+        .join(exact_kept, id_col, "left")
+        .join(
+            clusters.select(F.col("id").alias(id_col), "is_survivor"),
+            id_col,
+            "left",
+        )
+    )
+    reason = (
+        F.when(F.col("quality_score") < min_quality, F.lit("low-quality"))
+        .when(~F.col("_exact_keep"), F.lit("exact-dup"))
+        .when(~F.col("is_survivor"), F.lit("near-dup"))
+    )
+    return ledger.select(
+        id_col,
+        "quality_score",
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+    )
+
+
 def persist_ledger(ledger: DataFrame, out_dir: str, **curation_params) -> dict:
     """Commit a curation ledger into the manifest store (table='ledger').
 

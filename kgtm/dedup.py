@@ -118,6 +118,22 @@ def ngram_jaccard_pairs(
     docs share carries no dedup signal). ``log_dropped=True`` counts and
     prints the dropped hot shingles (one extra small job).
     """
+    pair_side, sizes = _capped_flat(df, text_col, id_col, n, max_shingle_df, log_dropped)
+    a = pair_side.select(F.col("id").alias("id_a"), "shingle")
+    b = pair_side.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def _capped_flat(df, text_col, id_col, n, max_shingle_df, log_dropped=False):
+    """(pair_side, sizes): df-capped flat (id, shingle-hash) rows + per-id
+    post-cap shingle counts — the shared front half of the exact-Jaccard
+    operators."""
     sh = with_shingles(df, text_col, id_col, n)
     # explode FIRST (grams evaluated once inside Generate); join on a 64-bit
     # shingle hash, not the string — smaller shuffle keys. |A| is recovered
@@ -160,15 +176,10 @@ def ngram_jaccard_pairs(
     # result is the exact Jaccard of the stop-shingle-removed sets — not a
     # mixed-denominator underestimate.
     sizes = pair_side.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return pair_side, sizes
 
-    a = pair_side.select(F.col("id").alias("id_a"), "shingle")
-    b = pair_side.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+
+def _jaccard_from_inter(inter, sizes, threshold):
     # No broadcast hint: sizes is one row per doc — AQE broadcasts while it
     # fits and falls back to shuffle join at corpus scale.
     sz = sizes
@@ -182,6 +193,55 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def ngram_jaccard_pairs_probe(
+    df: DataFrame,
+    probe_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Probe-driven exact Jaccard: all (id_a < id_b, jaccard >= threshold)
+    pairs where AT LEAST ONE side is in ``probe_ids`` — never the
+    rest×rest self-join.
+
+    The incremental-ingest shape: when a new batch lands in a curated
+    corpus, only pairs touching the batch can change any decision, so the
+    candidate join is probe-flat ⋈ corpus-flat — cost scales with the
+    batch's shingle fan-out, not |corpus|². Semantics (shingle space,
+    df cap computed over the WHOLE corpus, post-cap Jaccard) are identical
+    to ngram_jaccard_pairs restricted to probe-touching pairs.
+    """
+    pair_side, sizes = _capped_flat(df, text_col, id_col, n, max_shingle_df)
+    probe = probe_ids.select(F.col(probe_ids.columns[0]).alias("id")).distinct()
+    p = pair_side.join(probe, "id", "left_semi")
+    o = pair_side.join(probe, "id", "left_anti")
+    # probe×probe (ordered) + probe×rest (normalized to id_a < id_b);
+    # the two joins are disjoint by construction, so no pair double-counts
+    pp = (
+        p.select(F.col("id").alias("id_a"), "shingle")
+        .join(p.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    po = (
+        p.select(F.col("id").alias("pid"), "shingle")
+        .join(o.select(F.col("id").alias("oid"), "shingle"), "shingle")
+        .select(
+            F.least("pid", "oid").alias("id_a"),
+            F.greatest("pid", "oid").alias("id_b"),
+            "shingle",
+        )
+    )
+    inter = (
+        pp.select("id_a", "id_b", "shingle")
+        .unionByName(po)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -414,6 +414,71 @@ def test_corpus_curation_all_drop_reasons(spark):
     assert out[5].kept
 
 
+def test_incremental_curate_equals_full_run(spark, documents):
+    """Append-only batch curation: new-doc decisions from incremental_curate
+    must equal a full curate_documents over old∪new, row for row — on the
+    real sf corpus split at an id boundary, and including exact-dup-vs-old,
+    near-dup-vs-old, transitive-via-dropped-old, and all-new-cluster cases."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kgtm.curation import curate_documents, incremental_curate
+
+    cols = ["doc_id", "quality_score", "kept", "drop_reason"]
+
+    def check(all_docs, split):
+        old = all_docs.filter(F.col("doc_id") < split)
+        new = all_docs.filter(F.col("doc_id") >= split)
+        old_ledger = curate_documents(old, min_quality=0.45, jaccard_threshold=0.5)
+        inc = incremental_curate(old, old_ledger, new)
+        full = curate_documents(all_docs, min_quality=0.45, jaccard_threshold=0.5)
+        got = sorted(map(tuple, inc.select(*cols).collect()))
+        want = sorted(
+            map(tuple, full.filter(F.col("doc_id") >= split).select(*cols).collect())
+        )
+        assert got == want
+        return {r[0]: r for r in got}
+
+    # real corpus, split at the 60% boundary
+    docs = documents.limit(300)
+    check(docs, 180)
+
+    # planted corner cases
+    good = (
+        "the quick brown fox jumps over the lazy dog and the story of the "
+        "garden is a long one for all of the people in the world to read"
+    )
+    g2 = good.replace("fox", "owl").replace("dog", "cat").replace("garden", "harbor")
+    planted = spark.createDataFrame(
+        [
+            (1, good),                 # old survivor
+            (2, good + " almost"),     # old near-dup of 1 (dropped)
+            (3, g2),                   # old survivor, distinct cluster
+            (10, good),                # new: exact dup of old survivor
+            (11, good + " almost ok"), # new: near-dup ONLY of dropped old 2
+                                       #      (transitive into 1's cluster)
+            (12, g2 + " extra bit"),   # new: near-dup of old survivor 3
+            (13, "x!!! ??? ;;; ,,,"),  # new: low quality
+            (14, good.replace("the", "a certain").replace("people", "birds")),
+            (15, good.replace("the", "a certain").replace("people", "birds")),
+                                       # new×new exact pair: 14 keeps, 15 drops
+        ],
+        "doc_id long, text string",
+    )
+    got = check(planted, 10)
+    assert not got[10][2] and got[10][3] == "exact-dup"
+    assert not got[11][2] and got[11][3] == "near-dup"
+    assert not got[12][2] and got[12][3] == "near-dup"
+    assert not got[13][2] and got[13][3] == "low-quality"
+    assert got[14][2] and not got[15][2] and got[15][3] == "exact-dup"
+
+    # the monotone-id guard (the parity proof's precondition) fires loudly
+    old = planted.filter(F.col("doc_id") >= 10)
+    new = planted.filter(F.col("doc_id") < 10)
+    with _pytest.raises(ValueError, match="monotone"):
+        incremental_curate(old, curate_documents(old), new)
+
+
 def test_curation_ledger_time_travel(spark, documents, tmp_path):
     """Corpus versions time-travel through the commit store: each curation
     run is one snapshot commit; read_ledger(as_of=seq) reproduces that run's
