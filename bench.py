@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "incremental_relink",
     "dedup_exact",
     "corpus_curation",
+    "incremental_curation",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash_neardup",
