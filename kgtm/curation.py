@@ -133,8 +133,15 @@ def incremental_curate(
             "min-id survivor pick"
         )
 
-    scored_new = quality_features(new_docs.select(id_col, text_col)).select(
-        id_col, text_col, F.round("quality_score", 6).alias("quality_score")
+    # the batch-derived intermediates are consumed 2-3x each downstream
+    # (digest stage, graph union, probe ids, node set, final ledger joins);
+    # lazy localCheckpoints materialize each ONCE instead of re-running the
+    # quality/digest chains per consumer — same pattern as the shingle flat
+    # in ngram_jaccard_pairs
+    scored_new = (
+        quality_features(new_docs.select(id_col, text_col))
+        .select(id_col, text_col, F.round("quality_score", 6).alias("quality_score"))
+        .localCheckpoint(eager=False)
     )
     hq_new = scored_new.filter(F.col("quality_score") >= min_quality)
 
@@ -162,6 +169,7 @@ def incremental_curate(
                 F.col("_in_old").isNull() & (F.col(id_col) == F.col("_keep"))
             ).alias("_exact_keep"),
         )
+        .localCheckpoint(eager=False)
     )
     new_survived_exact = exact_kept.filter("_exact_keep").select(id_col)
 
