@@ -77,12 +77,18 @@ def curate_documents(
             "left",
         )
     )
+    return _assemble_ledger(ledger, id_col, min_quality)
+
+
+def _assemble_ledger(joined: DataFrame, id_col: str, min_quality: float) -> DataFrame:
+    """Shared drop-reason precedence (first applicable stage wins) — the ONE
+    place the ledger contract lives, for both full and incremental curation."""
     reason = (
         F.when(F.col("quality_score") < min_quality, F.lit("low-quality"))
         .when(~F.col("_exact_keep"), F.lit("exact-dup"))
         .when(~F.col("is_survivor"), F.lit("near-dup"))
     )
-    return ledger.select(
+    return joined.select(
         id_col,
         "quality_score",
         reason.isNull().alias("kept"),
@@ -103,11 +109,23 @@ def incremental_curate(
     ledger rows for the new docs, with EXACT full-run parity.
 
     The append-only production shape: prior decisions are immutable (the
-    ledger is the audit log); a new batch must not re-curate the world. Cost
-    scales with the batch — the near-dup candidate join is probe-driven
-    (ngram_jaccard_pairs_probe: pairs touching new docs only, never
-    old×old), exact dedup is a digest join of the batch against prior
-    high-quality digests, and the quality gate is batch-local.
+    ledger is the audit log); a new batch must not re-curate the world. The
+    QUADRATIC work scales with the batch — the near-dup candidate join is
+    probe-driven (ngram_jaccard_pairs_probe: pairs touching new docs only,
+    never the old×old self-join) and exact dedup is a digest join of the
+    batch against prior digests. The LINEAR work does not: each call still
+    scans and re-shingles the prior corpus once (digests of old HQ docs,
+    shingle flat + df cap over all participants) — at production scale those
+    corpus-side tables are materialized once and reused across batches, the
+    same way the ledger itself is an input here.
+
+    PRECONDITIONS: (a) monotone ids — checked below; (b) the SAME
+    min_quality / jaccard_threshold / shingle settings as the run that
+    produced ``old_ledger``. min_quality drift is detected from the ledger
+    itself (quality_score vs drop_reason disagree) and raises; a
+    jaccard_threshold drift is NOT detectable from the ledger and silently
+    voids the parity contract — record thresholds beside the ledger
+    (persist_ledger stores them in the commit manifest) and pass them back.
 
     Parity contract (provable given monotone ids, enforced below): for every
     NEW doc, (kept, drop_reason, quality_score) equal what a full
@@ -131,6 +149,27 @@ def incremental_curate(
             f"exceed all old ones (old max {bounds.mx} >= new min {bounds.mn})"
             " — the exact-parity proof leans on old ids always winning the "
             "min-id survivor pick"
+        )
+    # min_quality drift detection: under the ledger's own min_quality, a row
+    # is low-quality IFF its recorded score is below the threshold — any
+    # disagreement means old_ledger was built with different settings and
+    # the parity contract is void
+    n_drift = old_ledger.filter(
+        (
+            (F.col("quality_score") < min_quality)
+            & (F.col("drop_reason").isNull() | (F.col("drop_reason") != "low-quality"))
+        )
+        | (
+            (F.col("quality_score") >= min_quality)
+            & (F.col("drop_reason") == "low-quality")
+        )
+    ).count()
+    if n_drift:
+        raise ValueError(
+            f"old_ledger disagrees with min_quality={min_quality} on "
+            f"{n_drift} rows — it was built with a different threshold; "
+            "re-curate or pass the original parameters (recorded in the "
+            "ledger's commit manifest by persist_ledger)"
         )
 
     # the batch-derived intermediates are consumed 2-3x each downstream
@@ -212,17 +251,7 @@ def incremental_curate(
             "left",
         )
     )
-    reason = (
-        F.when(F.col("quality_score") < min_quality, F.lit("low-quality"))
-        .when(~F.col("_exact_keep"), F.lit("exact-dup"))
-        .when(~F.col("is_survivor"), F.lit("near-dup"))
-    )
-    return ledger.select(
-        id_col,
-        "quality_score",
-        reason.isNull().alias("kept"),
-        reason.alias("drop_reason"),
-    )
+    return _assemble_ledger(ledger, id_col, min_quality)
 
 
 def persist_ledger(ledger: DataFrame, out_dir: str, **curation_params) -> dict:

@@ -215,7 +215,7 @@ def ngram_jaccard_pairs_probe(
     df cap computed over the WHOLE corpus, post-cap Jaccard) are identical
     to ngram_jaccard_pairs restricted to probe-touching pairs.
     """
-    pair_side, sizes = _capped_flat(df, text_col, id_col, n, max_shingle_df)
+    pair_side, _ = _capped_flat(df, text_col, id_col, n, max_shingle_df)
     probe = probe_ids.select(F.col(probe_ids.columns[0]).alias("id")).distinct()
     p = pair_side.join(probe, "id", "left_semi")
     o = pair_side.join(probe, "id", "left_anti")
@@ -240,6 +240,21 @@ def ngram_jaccard_pairs_probe(
         .unionByName(po)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        # consumed twice (participant-id projection + the size join below)
+        .localCheckpoint(eager=False)
+    )
+    # per-id sizes only for PAIR PARTICIPANTS — a full-corpus sizes groupBy
+    # would shuffle counts for every old doc although the inner join below
+    # consumes only the candidate set's ids
+    participants = (
+        inter.select(F.col("id_a").alias("id"))
+        .unionByName(inter.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sizes = (
+        pair_side.join(participants, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     return _jaccard_from_inter(inter, sizes, threshold)
 

@@ -439,8 +439,9 @@ def test_incremental_curate_equals_full_run(spark, documents):
         assert got == want
         return {r[0]: r for r in got}
 
-    # real corpus, split at the 60% boundary
-    docs = documents.limit(300)
+    # real corpus, split at the 60% boundary (id filter, not limit(): an
+    # unordered limit can pick different rows in each of the four plans)
+    docs = documents.filter(F.col("doc_id") < 300)
     check(docs, 180)
 
     # planted corner cases
@@ -478,6 +479,15 @@ def test_incremental_curate_equals_full_run(spark, documents):
     with _pytest.raises(ValueError, match="monotone"):
         incremental_curate(old, curate_documents(old), new)
 
+    # parameter-drift guard: a ledger built under a different min_quality
+    # disagrees with the new threshold on its own recorded scores → raises
+    old2 = planted.filter(F.col("doc_id") < 10)
+    stale = curate_documents(old2, min_quality=0.45)
+    with _pytest.raises(ValueError, match="different threshold"):
+        incremental_curate(
+            old2, stale, planted.filter(F.col("doc_id") >= 10), min_quality=0.99
+        )
+
 
 def test_curation_ledger_time_travel(spark, documents, tmp_path):
     """Corpus versions time-travel through the commit store: each curation
@@ -485,7 +495,7 @@ def test_curation_ledger_time_travel(spark, documents, tmp_path):
     decision set exactly, and the latest read returns the newest run."""
     from kgtm.curation import curate_documents, persist_ledger, read_ledger
 
-    docs = documents.limit(200)
+    docs = documents.filter(F.col("doc_id") < 200)
     store = str(tmp_path / "store")
     l1 = curate_documents(docs, min_quality=0.45, jaccard_threshold=0.5)
     c1 = persist_ledger(l1, store, min_quality=0.45, jaccard_threshold=0.5)
