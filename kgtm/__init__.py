@@ -25,6 +25,7 @@ __all__ = [
     "SynthConfig",
     "curate_documents",
     "incremental_curate",
+    "append_curated_batch",
     "incremental_relink",
     "link_mentions",
     "broadcast_ladder_link",
@@ -53,7 +54,7 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm import synth
 
         return getattr(synth, name)
-    if name in ("curate_documents", "incremental_curate", "persist_ledger", "read_ledger"):
+    if name in ("curate_documents", "incremental_curate", "append_curated_batch", "persist_ledger", "read_ledger"):
         from kgtm import curation
 
         return getattr(curation, name)

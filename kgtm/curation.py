@@ -276,6 +276,51 @@ def persist_ledger(ledger: DataFrame, out_dir: str, **curation_params) -> dict:
     )
 
 
+def append_curated_batch(
+    spark,
+    out_dir: str,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    min_quality: float | None = None,
+    jaccard_threshold: float | None = None,
+) -> dict:
+    """Incrementally curate a new batch against the store's LATEST ledger
+    and commit the combined decision set as a new corpus version.
+
+    Closes the parameter-drift loop persist_ledger opened: thresholds
+    default to the values RECORDED in the latest ledger commit's manifest
+    (explicit arguments override, at the caller's own risk — the
+    incremental parity contract needs unchanged settings). The committed
+    snapshot is old rows (immutable) + the batch's rows, so
+    read_ledger(as_of=...) time-travels corpus versions and the newest read
+    always covers the whole corpus.
+    """
+    from kgtm.materialize import list_commits
+
+    ledgers = [
+        c for c in list_commits(out_dir, spark) if c.get("table") == "ledger"
+    ]
+    if not ledgers:
+        raise FileNotFoundError(f"no committed ledger under {out_dir}")
+    recorded = ledgers[-1].get("curation_params", {})
+    mq = min_quality if min_quality is not None else recorded.get("min_quality", 0.45)
+    jt = (
+        jaccard_threshold
+        if jaccard_threshold is not None
+        else recorded.get("jaccard_threshold", 0.5)
+    )
+    old_ledger = read_ledger(spark, out_dir)
+    new_rows = incremental_curate(
+        old_docs, old_ledger, new_docs, min_quality=mq, jaccard_threshold=jt
+    )
+    return persist_ledger(
+        old_ledger.unionByName(new_rows),
+        out_dir,
+        min_quality=mq,
+        jaccard_threshold=jt,
+    )
+
+
 def read_ledger(spark, out_dir: str, as_of: int | None = None) -> DataFrame:
     """Manifest-gated ledger read; ``as_of`` = corpus-version time travel.
 

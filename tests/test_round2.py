@@ -489,6 +489,51 @@ def test_incremental_curate_equals_full_run(spark, documents):
         )
 
 
+def test_append_curated_batch_versions_the_corpus(spark, documents, tmp_path):
+    """Store-integrated incremental ingest: batch 2 appends a new ledger
+    version whose decisions equal a full re-curation for the batch rows and
+    keep the old rows immutable; thresholds come from the previous commit's
+    manifest (no drift), and as_of still reads version 1."""
+    from kgtm.curation import (
+        append_curated_batch,
+        curate_documents,
+        persist_ledger,
+        read_ledger,
+    )
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 200)
+    new = documents.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 260))
+    c1 = persist_ledger(
+        curate_documents(old, min_quality=0.4, jaccard_threshold=0.5),
+        store,
+        min_quality=0.4,
+        jaccard_threshold=0.5,
+    )
+    # NOTE: no thresholds passed — they must be read from c1's manifest
+    c2 = append_curated_batch(spark, store, old, new)
+    assert c2["curation_params"] == {"min_quality": 0.4, "jaccard_threshold": 0.5}
+
+    cols = ["doc_id", "quality_score", "kept", "drop_reason"]
+    latest = read_ledger(spark, store)
+    assert latest.count() == 260
+    full = curate_documents(
+        documents.filter(F.col("doc_id") < 260), min_quality=0.4, jaccard_threshold=0.5
+    )
+    got_new = sorted(
+        map(tuple, latest.filter(F.col("doc_id") >= 200).select(*cols).collect())
+    )
+    want_new = sorted(
+        map(tuple, full.filter(F.col("doc_id") >= 200).select(*cols).collect())
+    )
+    assert got_new == want_new
+    # old rows immutable; version 1 still readable as-of
+    v1 = sorted(map(tuple, read_ledger(spark, store, as_of=c1["seq"]).select(*cols).collect()))
+    assert v1 == sorted(
+        map(tuple, latest.filter(F.col("doc_id") < 200).select(*cols).collect())
+    )
+
+
 def test_curation_ledger_time_travel(spark, documents, tmp_path):
     """Corpus versions time-travel through the commit store: each curation
     run is one snapshot commit; read_ledger(as_of=seq) reproduces that run's
