@@ -283,42 +283,108 @@ def append_curated_batch(
     new_docs: DataFrame,
     min_quality: float | None = None,
     jaccard_threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> dict:
     """Incrementally curate a new batch against the store's LATEST ledger
     and commit the combined decision set as a new corpus version.
 
     Closes the parameter-drift loop persist_ledger opened: thresholds
-    default to the values RECORDED in the latest ledger commit's manifest
+    default to the values RECORDED in the base ledger commit's manifest
     (explicit arguments override, at the caller's own risk — the
-    incremental parity contract needs unchanged settings). The committed
-    snapshot is old rows (immutable) + the batch's rows, so
-    read_ledger(as_of=...) time-travels corpus versions and the newest read
-    always covers the whole corpus.
-    """
-    from kgtm.materialize import list_commits
+    incremental parity contract needs unchanged settings); a threshold that
+    is neither recorded nor passed raises rather than silently guessing a
+    default. The rows curated against are read AS OF the same base commit
+    the thresholds came from, and ``old_docs`` must carry exactly the base
+    ledger's doc ids (guarded) — a shrunken old corpus would silently keep
+    batch docs that duplicate the missing documents. The committed snapshot
+    is old rows (immutable) + the batch's rows, so read_ledger(as_of=...)
+    time-travels corpus versions and the newest read always covers the
+    whole corpus.
 
-    ledgers = [
-        c for c in list_commits(out_dir, spark) if c.get("table") == "ledger"
-    ]
-    if not ledgers:
-        raise FileNotFoundError(f"no committed ledger under {out_dir}")
-    recorded = ledgers[-1].get("curation_params", {})
-    mq = min_quality if min_quality is not None else recorded.get("min_quality", 0.45)
-    jt = (
-        jaccard_threshold
-        if jaccard_threshold is not None
-        else recorded.get("jaccard_threshold", 0.5)
-    )
-    old_ledger = read_ledger(spark, out_dir)
+    Concurrency: ledger versions are snapshots, so two concurrent appends
+    from the same base would each publish old+ownBatch and the later one
+    would hide the earlier batch (lost update). A pre-commit check rejects
+    the append when the base is no longer the newest ledger commit; the
+    residual check→commit window means corpus ingest should still be
+    single-writer per store — unlike the append-mode triple table, which
+    takes concurrent writers safely.
+    """
+    base = _latest_ledger_commit(spark, out_dir)
+    recorded = base.get("curation_params", {})
+
+    def _resolve(name: str, passed: float | None) -> float:
+        if passed is not None:
+            return passed
+        if name in recorded:
+            return recorded[name]
+        raise ValueError(
+            f"{name} is neither recorded in the base ledger commit "
+            f"{base['commit_id']} nor passed explicitly — refusing to guess: "
+            "a threshold mismatch silently voids the incremental parity "
+            "contract (persist the ledger with its thresholds, or pass them)"
+        )
+
+    mq = _resolve("min_quality", min_quality)
+    jt = _resolve("jaccard_threshold", jaccard_threshold)
+    # rows AS OF the base commit — params and rows from the SAME snapshot
+    # even if a concurrent writer lands in between
+    old_ledger = read_ledger(spark, out_dir, as_of=base["seq"])
+
+    # old_docs must be exactly the base ledger's corpus: a missing/extra doc
+    # silently shrinks/grows the digest and near-dup participant sets
+    led_ids = old_ledger.select(F.col(id_col).alias("id"))
+    doc_ids = old_docs.select(F.col(id_col).alias("id"))
+    n_missing = led_ids.join(doc_ids, "id", "left_anti").count()
+    n_extra = doc_ids.join(led_ids, "id", "left_anti").count()
+    if n_missing or n_extra:
+        raise ValueError(
+            f"old_docs does not match the base ledger's corpus "
+            f"({n_missing} ledger ids missing from old_docs, {n_extra} "
+            "old_docs ids absent from the ledger) — pass the exact document "
+            "set the base version was curated from"
+        )
+
     new_rows = incremental_curate(
-        old_docs, old_ledger, new_docs, min_quality=mq, jaccard_threshold=jt
+        old_docs,
+        old_ledger,
+        new_docs,
+        min_quality=mq,
+        jaccard_threshold=jt,
+        text_col=text_col,
+        id_col=id_col,
     )
+    combined = old_ledger.unionByName(new_rows).localCheckpoint(eager=True)
+    # optimistic-concurrency check as late as possible: refuse to publish a
+    # snapshot computed from a stale base
+    current = _latest_ledger_commit(spark, out_dir)
+    if current["commit_id"] != base["commit_id"]:
+        raise RuntimeError(
+            f"concurrent ledger commit {current['commit_id']} landed after "
+            f"base {base['commit_id']} — recompute the append from the new "
+            "base (publishing now would hide the other batch's rows)"
+        )
     return persist_ledger(
-        old_ledger.unionByName(new_rows),
+        combined,
         out_dir,
         min_quality=mq,
         jaccard_threshold=jt,
     )
+
+
+def _latest_ledger_commit(spark, out_dir: str, as_of: int | None = None) -> dict:
+    """Newest ledger commit manifest (seq <= as_of when given); raises like a
+    missing-table read when the store has none."""
+    from kgtm.materialize import list_commits
+
+    ledgers = [
+        c
+        for c in list_commits(out_dir, spark)
+        if c.get("table") == "ledger" and (as_of is None or c["seq"] <= as_of)
+    ]
+    if not ledgers:
+        raise FileNotFoundError(f"no committed ledger under {out_dir}")
+    return ledgers[-1]  # list_commits is seq-ordered
 
 
 def read_ledger(spark, out_dir: str, as_of: int | None = None) -> DataFrame:
@@ -328,17 +394,10 @@ def read_ledger(spark, out_dir: str, as_of: int | None = None) -> DataFrame:
     append-mode triple table), so this reads exactly ONE commit: the newest
     ledger commit with seq <= as_of (or the newest overall).
     """
-    from kgtm.materialize import list_commits, read_table
+    from kgtm.materialize import read_table
 
-    ledgers = [
-        c
-        for c in list_commits(out_dir, spark)
-        if c.get("table") == "ledger" and (as_of is None or c["seq"] <= as_of)
-    ]
-    if not ledgers:
-        raise FileNotFoundError(f"no committed ledger under {out_dir}")
-    newest = ledgers[-1]["seq"]  # list_commits is seq-ordered
-    df = read_table(spark, out_dir, table="ledger", as_of=newest)
-    return df.filter(F.col("commit") == ledgers[-1]["commit_id"]).drop(
+    newest = _latest_ledger_commit(spark, out_dir, as_of)
+    df = read_table(spark, out_dir, table="ledger", as_of=newest["seq"])
+    return df.filter(F.col("commit") == newest["commit_id"]).drop(
         "kept_part", "commit"
     )

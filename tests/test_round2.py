@@ -533,6 +533,18 @@ def test_append_curated_batch_versions_the_corpus(spark, documents, tmp_path):
         map(tuple, latest.filter(F.col("doc_id") < 200).select(*cols).collect())
     )
 
+    # guard: old_docs must be exactly the base corpus (a shrunken corpus
+    # would silently keep batch docs duplicating the missing ones)
+    more = documents.filter((F.col("doc_id") >= 260) & (F.col("doc_id") < 280))
+    with pytest.raises(ValueError, match="does not match the base ledger"):
+        append_curated_batch(spark, store, old.limit(10), more)
+
+    # guard: unrecorded thresholds refuse to guess defaults
+    store2 = str(tmp_path / "store2")
+    persist_ledger(curate_documents(old), store2)  # no params recorded
+    with pytest.raises(ValueError, match="refusing to guess"):
+        append_curated_batch(spark, store2, old, new)
+
 
 def test_curation_ledger_time_travel(spark, documents, tmp_path):
     """Corpus versions time-travel through the commit store: each curation
