@@ -258,6 +258,29 @@ def test_compaction_replaces_and_preserves_time_travel(spark, events, tmp_path):
         compact_table(spark, store)
 
 
+def test_compaction_asof_boundary(spark, events, tmp_path):
+    """The replaces filter flips exactly AT the compaction seq: as_of one
+    before it reads the originals, as_of equal to it reads the rewrite."""
+    from kgtm.materialize import compact_table, read_table
+
+    store = str(tmp_path / "store")
+    tr = events_to_transcripts(events)
+    triples = build_triples(
+        tr, ontology_index_df(spark), ontology_snapshots_df(spark)
+    ).limit(40).localCheckpoint(eager=True)
+    n = triples.count()
+    write_triples(triples, store)
+    write_triples(triples, store)
+    comp = compact_table(spark, store)
+
+    before = read_table(spark, store, as_of=comp["seq"] - 1)
+    assert before.count() == 2 * n
+    assert before.select("commit").distinct().count() == 2  # the originals
+    at = read_table(spark, store, as_of=comp["seq"])
+    assert at.count() == 2 * n
+    assert at.select("commit").distinct().collect()[0][0] == comp["commit_id"]
+
+
 def test_read_table_merge_schema(spark, events, tmp_path):
     """Schema evolution across commits: a later commit adds a column; the
     merged read surfaces it with NULLs for older commits."""
