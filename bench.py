@@ -69,14 +69,23 @@ def median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def timed_median(run, reps: int = REPS) -> tuple[float, float]:
-    """(median seconds, relative spread) over ``reps`` timed runs of
-    ``run()``, after one discarded warm-up run."""
-    run()  # warm-up (untimed)
+def timed_median(build, reps: int = REPS) -> tuple[float, float]:
+    """(median seconds, relative spread) over ``reps`` timed runs, after one
+    discarded warm-up run.
+
+    ``build()`` constructs a FRESH DataFrame for every rep (outside the
+    clock — plan construction is setup, same methodology as earlier rounds);
+    the timed region is the noop-force of that fresh plan. Rebuilding per
+    rep matters for plans containing lazy localCheckpoints (curation/dedup):
+    re-forcing ONE DataFrame would reuse the checkpoint blocks materialized
+    by the warm-up, silently excluding the shingle/scoring pipeline from
+    every timed rep (round-3 ADVICE)."""
+    force(build())  # warm-up (untimed): codegen/JIT/page-cache first touch
     ts = []
     for _ in range(reps):
+        df = build()
         t0 = time.perf_counter()
-        run()
+        force(df)
         ts.append(time.perf_counter() - t0)
     med = median(ts)
     return med, (max(ts) - min(ts)) / med if med > 0 else 0.0
@@ -147,12 +156,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         # construction (incl. any eager prep work a query does while building
         # its plan) stays OUTSIDE the timed region — same methodology as
-        # earlier rounds, so BENCH_rN deltas compare like with like
-        df = qfns[name](spark, sf_dir)
-        # timed region is force(df) ONLY (the round-1/2 methodology); the
-        # cache clear runs between queries, outside the clock — noop-forced
-        # plans don't persist anything rep-to-rep
-        med, spread = timed_median(lambda df=df: force(df))
+        # earlier rounds, so BENCH_rN deltas compare like with like; the
+        # PLAN is rebuilt fresh for every rep so lazily-checkpointed stages
+        # are re-materialized inside the clock (see timed_median)
+        med, spread = timed_median(lambda name=name: qfns[name](spark, sf_dir))
         spark.catalog.clearCache()  # no cross-query cache pollution
         timings[name] = round(med, 3)
         spreads[name] = round(spread, 3)
@@ -183,7 +190,7 @@ def main() -> None:
         "queries": timings,
         "query_spread": spreads,
         "reps": REPS,
-        "protocol": "per query: 1 discarded warm-up run, then median of REPS timed runs; spread = (max-min)/median",
+        "protocol": "per query: 1 discarded warm-up run, then median of REPS timed runs, each rep forcing a FRESHLY built plan (lazy checkpoints re-materialize inside the clock); spread = (max-min)/median",
         "sf": sf,
         "cpus": cpus,
         "amplify": AMPLIFY,

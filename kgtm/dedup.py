@@ -28,6 +28,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+#: Default hot-shingle document-frequency cap. kgtm.curation's state-backed
+#: incremental path reuses this value so a materialized corpus flat and a
+#: fresh derivation always agree on the capped shingle space.
+DEFAULT_MAX_SHINGLE_DF = 1000
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -99,7 +104,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     log_dropped: bool = False,
 ) -> DataFrame:
     """All (id_a, id_b, jaccard) pairs with J >= threshold, id_a < id_b.
@@ -130,19 +135,24 @@ def ngram_jaccard_pairs(
     return _jaccard_from_inter(inter, sizes, threshold)
 
 
-def _capped_flat(df, text_col, id_col, n, max_shingle_df, log_dropped=False):
-    """(pair_side, sizes): df-capped flat (id, shingle-hash) rows + per-id
-    post-cap shingle counts — the shared front half of the exact-Jaccard
-    operators."""
+def flat_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Flat (id, shingle-hash) rows — the shared shingle derivation of every
+    exact-Jaccard operator, and the schema of the materialized
+    ``ledger_shingles`` store table (kgtm.curation), so an incrementally
+    maintained corpus flat is byte-compatible with a freshly derived one.
+
+    explode FIRST (grams evaluated once inside Generate); join on a 64-bit
+    shingle hash, not the string — smaller shuffle keys. |A| is recovered
+    as a per-id count over flat (sh is already distinct), avoiding the
+    size()+explode() double evaluation of the gram array.
+    explode_OUTER, not explode: InferFiltersFromGenerate would otherwise
+    push a `size(<full gram expr>) > 0` filter below the staged projection,
+    re-inlining the split into every element access (measured 30x slower).
+    """
     sh = with_shingles(df, text_col, id_col, n)
-    # explode FIRST (grams evaluated once inside Generate); join on a 64-bit
-    # shingle hash, not the string — smaller shuffle keys. |A| is recovered
-    # as a per-id count over flat (sh is already distinct), avoiding the
-    # size()+explode() double evaluation of the gram array.
-    # explode_OUTER, not explode: InferFiltersFromGenerate would otherwise
-    # push a `size(<full gram expr>) > 0` filter below the staged projection,
-    # re-inlining the split into every element access (measured 30x slower).
-    flat = (
+    return (
         sh.select("id", F.explode_outer("sh").alias("sh_str"))
         .filter(F.col("sh_str").isNotNull())
         .select("id", F.xxhash64("sh_str").alias("shingle"))
@@ -154,24 +164,35 @@ def _capped_flat(df, text_col, id_col, n, max_shingle_df, log_dropped=False):
         .localCheckpoint(eager=False)
     )
 
-    pair_side = flat
-    if max_shingle_df is not None:
-        # Hot-shingle cap: a stop-phrase shared by 10^8 docs carries no dedup
-        # signal and quadratically explodes the join.
-        hot = (
-            flat.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") > max_shingle_df)
-            .select("shingle")
-        )
-        if log_dropped:
-            n_hot = hot.count()
-            print(
-                f"[ngram_jaccard_pairs] skew guard: dropped {n_hot} shingles "
-                f"with document frequency > {max_shingle_df}"
-            )
-        pair_side = flat.join(F.broadcast(hot), "shingle", "left_anti")
 
+def _apply_cap(flat, max_shingle_df, log_dropped=False):
+    """Hot-shingle document-frequency cap over a flat (id, shingle) frame: a
+    stop-phrase shared by 10^8 docs carries no dedup signal and quadratically
+    explodes the join."""
+    if max_shingle_df is None:
+        return flat
+    hot = (
+        flat.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_shingle_df)
+        .select("shingle")
+    )
+    if log_dropped:
+        n_hot = hot.count()
+        print(
+            f"[ngram_jaccard_pairs] skew guard: dropped {n_hot} shingles "
+            f"with document frequency > {max_shingle_df}"
+        )
+    return flat.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _capped_flat(df, text_col, id_col, n, max_shingle_df, log_dropped=False):
+    """(pair_side, sizes): df-capped flat (id, shingle-hash) rows + per-id
+    post-cap shingle counts — the shared front half of the exact-Jaccard
+    operators."""
+    pair_side = _apply_cap(
+        flat_shingles(df, text_col, id_col, n), max_shingle_df, log_dropped
+    )
     # |A| over the SAME (post-cap) shingle space as |A∩B|, so the capped
     # result is the exact Jaccard of the stop-shingle-removed sets — not a
     # mixed-denominator underestimate.
@@ -202,7 +223,7 @@ def ngram_jaccard_pairs_probe(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Probe-driven exact Jaccard: all (id_a < id_b, jaccard >= threshold)
     pairs where AT LEAST ONE side is in ``probe_ids`` — never the
@@ -215,7 +236,20 @@ def ngram_jaccard_pairs_probe(
     df cap computed over the WHOLE corpus, post-cap Jaccard) are identical
     to ngram_jaccard_pairs restricted to probe-touching pairs.
     """
-    pair_side, _ = _capped_flat(df, text_col, id_col, n, max_shingle_df)
+    pair_side = _apply_cap(flat_shingles(df, text_col, id_col, n), max_shingle_df)
+    return probe_pairs_from_flat(pair_side, probe_ids, threshold)
+
+
+def probe_pairs_from_flat(
+    pair_side: DataFrame, probe_ids: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Probe-driven exact Jaccard over an ALREADY df-capped flat
+    (id, shingle) frame — the state-backed incremental entry point: when the
+    corpus flat is a materialized store table (kgtm.curation's
+    ledger_shingles), the per-batch cost is the batch's own shingle fan-out
+    plus one columnar scan of the compact int-pair table, never a
+    re-shingling of corpus text.
+    """
     probe = probe_ids.select(F.col(probe_ids.columns[0]).alias("id")).distinct()
     p = pair_side.join(probe, "id", "left_semi")
     o = pair_side.join(probe, "id", "left_anti")
@@ -318,14 +352,34 @@ def minhash_lsh_pairs(
     n_hashes: int = 128,
     n_bands: int = 16,
     threshold: float = 0.8,
+    rows_per_band: int | None = None,
+    verify: str = "estimate",
 ) -> DataFrame:
-    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+    """Near-dup pairs via MinHash banding, verified per candidate pair.
 
     Candidate generation cost ~ O(rows × bands); only candidate pairs ever
-    compare signatures. Estimated Jaccard = fraction of equal minhashes;
-    pairs kept when estimate >= threshold.
+    get verified. ``verify``:
+      - "estimate" (default): estimated Jaccard = fraction of equal
+        minhashes; pairs kept when est_jaccard >= threshold. Cheapest — the
+        signatures are already in hand.
+      - "exact": candidates are re-checked against the TRUE n-gram Jaccard
+        (array_intersect over the shingle sets, JVM-side); pairs kept when
+        jaccard >= threshold. The classic LSH-then-verify production shape:
+        banding only risks RECALL, never emits a false positive.
+
+    ``rows_per_band`` defaults to n_hashes // n_bands. Setting it to 0 makes
+    every band slice empty, so every doc hashes to ONE universal bucket and
+    the candidate set is the full pair space — the derandomization hook: with
+    ``verify="exact"`` the output must equal ngram_jaccard_pairs with no df
+    cap (hash-checked by the minhash_exhaustive driver-gate query), proving
+    the whole signature→band→bucket-join→verify machinery lossless. The
+    approximate default then only risks recall, not correctness (same
+    pattern as ann_lsh_exhaustive / ann_ivf_exhaustive).
     """
-    rows_per_band = n_hashes // n_bands
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
+    if rows_per_band is None:
+        rows_per_band = n_hashes // n_bands
     sig_udf = F.pandas_udf(
         lambda s: minhash_signature_series(s, n_hashes), ArrayType(LongType())
     )
@@ -337,7 +391,8 @@ def minhash_lsh_pairs(
     # before it, Catalyst evaluates the Python UDF twice (filter + project),
     # and filtering on size(sh) instead re-inlines the gram expression —
     # both measured 3-5x slower at sf0.1.
-    sigs = with_shingles(df, text_col, id_col, n).select(
+    shfr = with_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sigs = shfr.select(
         "id", sig_udf(F.col("sh")).alias("sig")
     ).localCheckpoint(eager=False).filter(F.col("sig").isNotNull())
 
@@ -359,6 +414,22 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    if verify == "exact":
+        # per-candidate TRUE Jaccard over the (distinct) shingle arrays —
+        # pure JVM set ops, same |∩|/(|A|+|B|-|∩|) form as the pair-join
+        # operators so rounding agrees with ngram_jaccard_pairs exactly
+        ex = cand.join(
+            shfr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        ).join(
+            shfr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        ni = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = ni / (F.size("sh_a") + F.size("sh_b") - ni)
+        return (
+            ex.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
     est = (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -411,6 +482,32 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id")
 # ---------------------------------------------------------------------------
 
 
+def _hash_shingles64(sh) -> np.ndarray:
+    """Full-width 64-bit shingle hashes: first 8 bytes (big-endian) of
+    md5(shingle) — every one of the 64 SimHash bit positions gets real
+    entropy, and md5 is reproducible in ANSI SQL (DuckDB:
+    CAST('0x' || substr(md5(s),1,16) AS UBIGINT)), which is what makes the
+    simhash_exhaustive driver-gate oracle possible.
+
+    Why not the 31-bit crc32 family used for MinHash (_hash_shingles): a
+    31-bit hash leaves SimHash bits 31..63 at constant 0 for EVERY document,
+    so the Hamming-band chunks covering those bits become one universal
+    bucket and candidate generation silently degenerates to the full
+    quadratic pair space — the exact blow-up banding exists to prevent.
+    (MinHash keeps crc32: its universal-hash arithmetic needs x < 2^31.)
+    """
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+            for s in sh
+        ),
+        dtype=np.uint64,
+        count=len(sh),
+    )
+
+
 def simhash_series(shingle_lists: pd.Series, bits: int = 64) -> pd.Series:
     """Pure UDF body: shingles → 64-bit SimHash (as signed int64)."""
 
@@ -418,7 +515,7 @@ def simhash_series(shingle_lists: pd.Series, bits: int = 64) -> pd.Series:
         # empty → NULL, same contract as minhash_signature_series
         if tokens is None or len(tokens) == 0:
             return None
-        h = _hash_shingles(tokens)
+        h = _hash_shingles64(tokens)
         cols = ((h[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
         v = np.where(cols.sum(axis=0) * 2 >= len(tokens), 1, 0)
         out = 0
@@ -438,10 +535,16 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Banding: split 64 bits into (max_hamming+1) chunks — a pair within the
-    Hamming budget must agree on at least one full chunk (pigeonhole), so the
-    bucket join loses nothing.
+    Banding: split the 64 bits into (max_hamming+1) disjoint chunks — a pair
+    within the Hamming budget has at most max_hamming differing bits, so at
+    least one chunk contains none of them and matches exactly (pigeonhole);
+    the bucket join loses nothing. When (max_hamming+1) does not divide 64
+    the trailing bits are covered by no chunk — the argument still holds
+    (differing bits OUTSIDE the chunks never break a chunk match), so the
+    banding stays lossless for any max_hamming <= 63.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63] (64-bit simhash)")
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     udf = F.pandas_udf(lambda s: simhash_series(s), LongType())

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,6 +77,42 @@ def _active_spark(spark: SparkSession | None) -> SparkSession:
     return s
 
 
+class RenameCommitCoordinator:
+    """Default seq-claim arbitration: exists-check + rename to the seq-named
+    destination. Atomic on HDFS/ABFS (rename-if-absent); on S3A or POSIX
+    local filesystems, whose renames overwrite, the exists+rename pair
+    narrows but cannot close the race window — pair those stores with a
+    coordinating service via a custom coordinator (below)."""
+
+    def claim(self, fs, jvm, tmp: str, dst: str) -> bool:
+        hpath = jvm.org.apache.hadoop.fs.Path
+        return (not fs.exists(hpath(dst))) and fs.rename(hpath(tmp), hpath(dst))
+
+
+class LockCommitCoordinator:
+    """Coordinated claim: serializes the exists+rename pair under a process-
+    wide lock, making the claim atomic even where rename overwrites (POSIX
+    local FS, S3A). This is the in-process stand-in for the external
+    coordinator an object store needs — a metastore conditional-put
+    (S3 If-None-Match / DynamoDB lock table); swap ``_LOCK`` acquisition for
+    that service's primitive and the commit protocol is unchanged."""
+
+    _LOCK = threading.Lock()  # process-wide: one claim section per process
+
+    def claim(self, fs, jvm, tmp: str, dst: str) -> bool:
+        hpath = jvm.org.apache.hadoop.fs.Path
+        with self._LOCK:
+            if fs.exists(hpath(dst)):
+                return False
+            return fs.rename(hpath(tmp), hpath(dst))
+
+
+#: Store-wide default; replace with LockCommitCoordinator (or a custom
+#: conditional-put implementation) when the store lives on a filesystem
+#: whose rename overwrites (S3A, POSIX file:).
+DEFAULT_COORDINATOR = RenameCommitCoordinator()
+
+
 def write_triples(
     triples: DataFrame,
     out_dir: str,
@@ -111,6 +148,7 @@ def write_table(
     metrics: MetricsCollector | None = None,
     n_output_partitions: int | None = None,
     extra_manifest: dict | None = None,
+    coordinator=None,
 ) -> dict:
     """Generic manifest-gated commit of any table into the store.
 
@@ -160,10 +198,13 @@ def write_table(
             "stages": [r["stage"] for r in mc.rows],
             **(extra_manifest or {}),
         },
+        coordinator=coordinator,
     )
 
 
-def _commit_manifest(spark: SparkSession, out_dir: str, commit: dict) -> dict:
+def _commit_manifest(
+    spark: SparkSession, out_dir: str, commit: dict, coordinator=None
+) -> dict:
     """Publish a commit manifest atomically through the Hadoop FileSystem.
 
     Protocol (the LogStore pattern — works on HDFS/ABFS where rename-if-absent
@@ -173,19 +214,22 @@ def _commit_manifest(spark: SparkSession, out_dir: str, commit: dict) -> dict:
     committer):
       1. write the full manifest JSON to a dot-prefixed temp file (readers
          skip dot/underscore names, so a crash mid-write is invisible),
-      2. claim seq = max(committed seq) + 1 by renaming the temp file to the
-         destination `{seq:010d}.json` — the seq IS the whole destination
-         name, so two writers claiming one seq collide on the SAME path and
-         exactly one rename wins; the loser re-stamps its manifest with the
-         next seq and retries.
+      2. claim seq = max(committed seq) + 1 by handing the temp file to the
+         ``coordinator`` (default: exists+rename), whose destination
+         `{seq:010d}.json` is named by the seq ALONE — two writers claiming
+         one seq collide on the SAME path and exactly one claim wins; the
+         loser re-stamps its manifest with the next seq and retries.
     The commit_id lives in the manifest CONTENT, never in the destination
     name — a writer-unique name would make collisions impossible and the
-    uniqueness guarantee vacuous.
+    uniqueness guarantee vacuous. The coordinator is pluggable so stores on
+    overwrite-rename filesystems (S3A) can substitute a conditional-put /
+    lock-service claim without touching the rest of the protocol.
     """
     commits_dir = _child(out_dir, "_commits")
     fs, jvm = _fs(spark, commits_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(hpath(commits_dir))
+    coordinator = coordinator or DEFAULT_COORDINATOR
 
     commit_id = commit["commit_id"]
     tmp = _child(commits_dir, f".tmp-{commit_id}.json")
@@ -193,8 +237,8 @@ def _commit_manifest(spark: SparkSession, out_dir: str, commit: dict) -> dict:
     while True:
         commit["seq"] = seq
         _write_bytes(spark, tmp, json.dumps(commit).encode())
-        dst = hpath(_child(commits_dir, f"{seq:010d}.json"))
-        if not fs.exists(dst) and fs.rename(hpath(tmp), dst):
+        dst = _child(commits_dir, f"{seq:010d}.json")
+        if coordinator.claim(fs, jvm, tmp, dst):
             return commit
         seq += 1  # lost the race for this seq — claim the next one
 
@@ -337,6 +381,19 @@ def compact_table(
     live = [c for c in commits if c["commit_id"] not in replaced]
     if len(live) < 2:
         raise ValueError(f"nothing to compact: {len(live)} live commit(s)")
+    # Curation-ledger tables are NOT plain append tables: each snapshot commit
+    # is a FULL decision set, so unioning N live commits would emit duplicate
+    # doc_ids with conflicting kept/drop_reason rows, and the rewritten
+    # manifest would drop curation_params (breaking append_curated_batch's
+    # threshold resolution). Their commits are marked via ``ledger_kind`` and
+    # must go through kgtm.curation.compact_ledger, which understands
+    # snapshot/delta resolution and carries the params forward.
+    if any(c.get("ledger_kind") for c in live):
+        raise ValueError(
+            f"table '{table}' carries ledger_kind commits (curation snapshots/"
+            "deltas/state) — a blind union-compaction would corrupt its "
+            "read resolution; use kgtm.curation.compact_ledger instead"
+        )
     if partition_by is None:
         # inherit the table's partition spec from the newest live commit
         partition_by = tuple(live[-1].get("partition_by", ["source"]))
@@ -391,6 +448,15 @@ def expire_commits(
     committing. Deletion is manifest-first (see _delete_commit). Reads with
     ``as_of`` older than the expiry horizon raise FileNotFoundError like any
     missing table. Returns the expired manifests.
+
+    APPEND-MODE tables (e.g. the triple table, where the current read is the
+    UNION of live commits): expiring a live non-replaced commit removes its
+    rows from CURRENT reads, not just from time-travel history — run
+    compact_table first so the newest commit holds the full table and expiry
+    only drops superseded history. Curation-ledger tables: snapshot commits
+    are each self-contained (safe to expire individually), but expiring the
+    base snapshot out from under surviving DELTA commits would strand them —
+    that case is detected below and refused (compact_ledger first).
     """
     spark = _active_spark(spark)
     commits = list_commits(out_dir, spark)
@@ -399,6 +465,21 @@ def expire_commits(
     by_table: dict[str, list[dict]] = {}
     for c in commits:  # list_commits is seq-ordered, so groups stay ordered
         by_table.setdefault(c.get("table", "triples"), []).append(c)
+    # Ledger-dependency guard: the kept set is a contiguous suffix, so delta
+    # resolution survives expiry IFF the suffix still contains the snapshot
+    # the deltas fold onto. A suffix of deltas with no snapshot would make
+    # read_ledger unreconstructable — refuse rather than corrupt.
+    for tbl, cs in by_table.items():
+        kept = cs[-keep_last:]
+        if len(kept) == len(cs):
+            continue  # nothing expires from this table
+        kinds = [c.get("ledger_kind") for c in kept]
+        if "delta" in kinds and not any(k in (None, "snapshot") for k in kinds):
+            raise ValueError(
+                f"expiring table '{tbl}' down to {keep_last} commits would "
+                "strand delta commits without their base snapshot — run "
+                "kgtm.curation.compact_ledger first (or raise keep_last)"
+            )
     victims = [c for cs in by_table.values() for c in cs[:-keep_last]]
     fs, jvm = _fs(spark, out_dir)
     hpath = jvm.org.apache.hadoop.fs.Path

@@ -245,6 +245,50 @@ def q_ngram_jaccard(threshold: float = 0.2) -> str:
     """
 
 
+def q_simhash_exhaustive(max_hamming: int = 16) -> str:
+    """Value-checked twin of kgtm.dedup.simhash_pairs — possible because the
+    round-4 shingle hasher is md5-derived (first 8 bytes big-endian ==
+    CAST('0x' || substr(md5(s),1,16) AS UBIGINT)), which both engines
+    compute identically; crc32 (the MinHash family) has no ANSI-SQL twin.
+
+    This is the ALL-PAIRS form: per-bit majority simhash (bit i set iff
+    2 * count(shingles with bit i) >= n_shingles — simhash_series' rule),
+    two's-complement to signed int64, then brute-force Hamming <=
+    max_hamming. The Spark side runs its production Hamming-chunk BANDING,
+    which is pigeonhole-lossless, so banded output must equal this exactly —
+    certifying the banding machinery, not a degenerate mode of it.
+    """
+    bit_sums = ",\n               ".join(
+        f"sum(CAST((hv >> {i}) & 1 AS HUGEINT)) AS b{i}" for i in range(64)
+    )
+    val = "\n             + ".join(
+        f"CASE WHEN 2*b{i} >= n_sh THEN (1::HUGEINT << {i}) ELSE 0::HUGEINT END"
+        for i in range(64)
+    )
+    return f"""
+      WITH {WORDS_CTE}, {SHINGLES_CTE},
+      h AS (
+        SELECT id, n_sh,
+               CAST('0x' || substr(md5(shingle), 1, 16) AS UBIGINT) AS hv
+        FROM flat),
+      bits AS (
+        SELECT id, n_sh,
+               {bit_sums}
+        FROM h GROUP BY id, n_sh),
+      u AS (SELECT id, ({val}) AS uv FROM bits),
+      s AS (
+        SELECT id,
+               CAST(uv - CASE WHEN uv >= (1::HUGEINT << 63)
+                              THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END
+                    AS BIGINT) AS sim
+        FROM u)
+      SELECT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+      FROM s a JOIN s b ON a.id < b.id
+      WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
 def q_quality_stats() -> str:
     # Twin of kgtm.textstats.quality_features + lang_id_col + fingerprint_col.
     # NOTE regexp_replace needs the 'g' flag in DuckDB (Spark replaces all).

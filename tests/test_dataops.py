@@ -84,10 +84,13 @@ def test_minhash_lsh_finds_near_dups(spark, dup_docs):
 def test_simhash_near_dup(spark, dup_docs):
     s = simhash_series(pd.Series([["a b c", "c d e"], ["a b c", "c d e"]]))
     assert s[0] == s[1]
-    out = simhash_pairs(dup_docs, max_hamming=10)
+    # thresholds calibrated to the full-64-bit hasher: the near-dup pair
+    # lands at hamming 12 (it was artificially ≤10 when bits 31..63 were
+    # constant zero), the unrelated pair at 38 — crisp separation
+    out = simhash_pairs(dup_docs, max_hamming=16)
     pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
     assert pairs[(0, 1)] == 0
-    assert (0, 2) in pairs and pairs[(0, 2)] <= 10
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 16
     assert (0, 3) not in pairs
 
 

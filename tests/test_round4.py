@@ -1,0 +1,295 @@
+"""Round-4 surface: O(batch) incremental ingest (delta ledger commits +
+materialized corpus-side curation state), ledger-aware store housekeeping,
+the pluggable commit coordinator, and the derandomized dedup twins."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# delta-mode ledger commits + materialized state
+# ---------------------------------------------------------------------------
+
+
+def test_append_is_delta_and_state_backed(spark, documents, tmp_path):
+    """The round-3 scale gap, closed: persist_curated_corpus writes the
+    snapshot + state once; append_curated_batch then needs NO old_docs, its
+    ledger commit holds ONLY the batch's rows (O(batch) write), and the
+    resolved read equals a full re-curation."""
+    from kgtm.curation import (
+        append_curated_batch,
+        curate_documents,
+        persist_curated_corpus,
+        read_ledger,
+    )
+    from kgtm.materialize import list_commits, read_table
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 200)
+    b1 = documents.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 260))
+    b2 = documents.filter((F.col("doc_id") >= 260) & (F.col("doc_id") < 300))
+
+    c1 = persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+    assert c1.get("ledger_kind") == "snapshot"
+    # state-backed append: old_docs deliberately omitted
+    c2 = append_curated_batch(spark, store, new_docs=b1)
+    assert c2["ledger_kind"] == "delta" and c2["base_commit_id"] == c1["commit_id"]
+    assert c2["curation_params"] == {"min_quality": 0.4, "jaccard_threshold": 0.5}
+    # the delta COMMIT carries only the batch's rows — the O(batch) write
+    raw = read_table(spark, store, table="ledger")
+    assert raw.filter(F.col("commit") == c2["commit_id"]).count() == 60
+    # second chained append, still no old_docs
+    c3 = append_curated_batch(spark, store, new_docs=b2)
+    assert c3["base_commit_id"] == c2["commit_id"]
+
+    cols = ["doc_id", "quality_score", "kept", "drop_reason"]
+
+    def snap(df):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    full = curate_documents(
+        documents.filter(F.col("doc_id") < 300), min_quality=0.4, jaccard_threshold=0.5
+    )
+    latest = read_ledger(spark, store)
+    assert latest.count() == 300
+    # batch decisions equal the full run restricted to the batches (parity
+    # contract), old rows immutable
+    assert snap(latest.filter(F.col("doc_id") >= 200)) == snap(
+        full.filter(F.col("doc_id") >= 200)
+    )
+    assert snap(read_ledger(spark, store, as_of=c2["seq"])) == snap(
+        latest.filter(F.col("doc_id") < 260)
+    )
+    assert snap(read_ledger(spark, store, as_of=c1["seq"])) == snap(
+        latest.filter(F.col("doc_id") < 200)
+    )
+    # state tables accreted one commit per ledger commit
+    st = [c for c in list_commits(store) if c.get("table") == "ledger_digests"]
+    assert {c.get("for_ledger_commit") for c in st} == {
+        c1["commit_id"],
+        c2["commit_id"],
+        c3["commit_id"],
+    }
+
+
+def test_compact_ledger_folds_chain_and_state(spark, documents, tmp_path):
+    """compact_ledger folds snapshot+deltas into one snapshot (params carried
+    forward), pre-compaction as_of still resolves the chain, appends keep
+    working off the compacted base, and expire_replaced reclaims inputs."""
+    from kgtm.curation import (
+        append_curated_batch,
+        compact_ledger,
+        persist_curated_corpus,
+        read_ledger,
+    )
+    from kgtm.materialize import expire_replaced, list_commits
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 150)
+    b1 = documents.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200))
+    b2 = documents.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 240))
+    persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+    c2 = append_curated_batch(spark, store, new_docs=b1)
+
+    cols = ["doc_id", "quality_score", "kept", "drop_reason"]
+
+    def snap(df):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    before = snap(read_ledger(spark, store))
+    comp = compact_ledger(spark, store)
+    assert comp["ledger_kind"] == "snapshot" and len(comp["replaces"]) == 2
+    assert comp["curation_params"] == {"min_quality": 0.4, "jaccard_threshold": 0.5}
+    assert snap(read_ledger(spark, store)) == before
+    # pre-compaction as_of resolves the ORIGINAL chain (time travel survives)
+    assert snap(read_ledger(spark, store, as_of=c2["seq"])) == before
+    # the compacted snapshot still carries state: next append stays state-backed
+    c3 = append_curated_batch(spark, store, new_docs=b2)
+    assert c3["base_commit_id"] == comp["commit_id"]
+    assert read_ledger(spark, store).count() == 240
+    victims = expire_replaced(store)
+    assert {v["commit_id"] for v in victims} >= {c2["commit_id"]}
+    assert read_ledger(spark, store).count() == 240
+    # a single-snapshot store refuses (nothing to fold)
+    compact_ledger(spark, store)  # folds comp + c3
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_ledger(spark, store)
+
+
+def test_state_mode_equals_derive_mode_on_planted_corners(spark):
+    """incremental_curate(state) == incremental_curate(derive) == full run on
+    the corner-case corpus (exact dup of old, transitive near-dup via a
+    DROPPED old doc, low quality, new×new exact pair)."""
+    from kgtm.curation import (
+        _state_frames,
+        curate_documents,
+        incremental_curate,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and the story of the "
+        "garden is a long one for all of the people in the world to read"
+    )
+    g2 = good.replace("fox", "owl").replace("dog", "cat").replace("garden", "harbor")
+    planted = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + " almost"),
+            (3, g2),
+            (10, good),
+            (11, good + " almost ok"),
+            (12, g2 + " extra bit"),
+            (13, "x!!! ??? ;;; ,,,"),
+            (14, good.replace("the", "a certain").replace("people", "birds")),
+            (15, good.replace("the", "a certain").replace("people", "birds")),
+        ],
+        "doc_id long, text string",
+    )
+    old = planted.filter(F.col("doc_id") < 10)
+    new = planted.filter(F.col("doc_id") >= 10)
+    old_ledger = curate_documents(old).localCheckpoint(eager=True)
+    digests, flat = _state_frames(old, old_ledger, "text", "doc_id")
+
+    cols = ["doc_id", "quality_score", "kept", "drop_reason"]
+
+    def snap(df):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    derive = incremental_curate(old, old_ledger, new)
+    state = incremental_curate(
+        None, old_ledger, new, corpus_digests=digests, corpus_flat=flat
+    )
+    full = curate_documents(planted).filter(F.col("doc_id") >= 10)
+    assert snap(derive) == snap(full)
+    assert snap(state) == snap(full)
+    got = {r[0]: r for r in state.collect()}
+    assert got[10][3] == "exact-dup" and got[11][3] == "near-dup"
+    assert got[12][3] == "near-dup" and got[13][3] == "low-quality"
+    assert got[14][2] and got[15][3] == "exact-dup"
+
+
+def test_append_without_state_needs_old_docs(spark, documents, tmp_path):
+    """A plain persist_ledger store has no state: append without old_docs
+    raises with the fallback explained; with old_docs it works (derive mode)
+    and still commits an O(batch) delta."""
+    from kgtm.curation import append_curated_batch, curate_documents, persist_ledger
+    from kgtm.materialize import read_table
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 150)
+    new = documents.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 190))
+    persist_ledger(
+        curate_documents(old, min_quality=0.4, jaccard_threshold=0.5),
+        store,
+        min_quality=0.4,
+        jaccard_threshold=0.5,
+    )
+    with pytest.raises(ValueError, match="no materialized curation state"):
+        append_curated_batch(spark, store, new_docs=new)
+    c = append_curated_batch(spark, store, old_docs=old, new_docs=new)
+    assert c["ledger_kind"] == "delta"
+    raw = read_table(spark, store, table="ledger")
+    assert raw.filter(F.col("commit") == c["commit_id"]).count() == 40
+    # derive-mode single-job guard still enforces the id-set contract
+    with pytest.raises(ValueError, match="does not match the base ledger"):
+        append_curated_batch(
+            spark,
+            store,
+            old_docs=old.limit(10),
+            new_docs=documents.filter(
+                (F.col("doc_id") >= 190) & (F.col("doc_id") < 200)
+            ),
+        )
+
+
+# ---------------------------------------------------------------------------
+# housekeeping safety: compact_table / expire_commits vs ledger commits
+# ---------------------------------------------------------------------------
+
+
+def test_compact_table_refuses_ledger_tables(spark, documents, tmp_path):
+    """The generic union-compaction would duplicate doc_ids across snapshot
+    commits and drop curation_params — it must refuse and point at
+    compact_ledger (ADVICE round-3 medium)."""
+    from kgtm.curation import curate_documents, persist_ledger
+    from kgtm.materialize import compact_table
+
+    store = str(tmp_path / "store")
+    docs = documents.filter(F.col("doc_id") < 100)
+    persist_ledger(curate_documents(docs), store, min_quality=0.45)
+    persist_ledger(curate_documents(docs, min_quality=0.99), store, min_quality=0.99)
+    with pytest.raises(ValueError, match="compact_ledger"):
+        compact_table(spark, store, table="ledger")
+
+
+def test_expire_refuses_stranding_deltas(spark, documents, tmp_path):
+    """expire_commits must not delete the base snapshot out from under live
+    delta commits (the kept suffix would become unreconstructable); once the
+    suffix contains a snapshot again, expiry proceeds."""
+    from kgtm.curation import (
+        append_curated_batch,
+        compact_ledger,
+        persist_curated_corpus,
+        read_ledger,
+    )
+    from kgtm.materialize import expire_commits
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 120)
+    b1 = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 150))
+    b2 = documents.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 170))
+    persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+    append_curated_batch(spark, store, new_docs=b1)
+    append_curated_batch(spark, store, new_docs=b2)
+    # keep_last=2 would keep only the two deltas — stranded
+    with pytest.raises(ValueError, match="strand delta commits"):
+        expire_commits(store, keep_last=2)
+    assert read_ledger(spark, store).count() == 170
+    # after compaction the newest commit is a self-contained snapshot
+    compact_ledger(spark, store)
+    expire_commits(store, keep_last=1)
+    assert read_ledger(spark, store).count() == 170
+
+
+# ---------------------------------------------------------------------------
+# pluggable commit coordinator
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("coord_name", ["rename", "lock"])
+def test_concurrent_writers_through_coordinators(spark, documents, tmp_path, coord_name):
+    """The seq-claim protocol holds under real concurrency through BOTH
+    coordinator implementations: default exists+rename and the lock-backed
+    conditional-put stand-in (the S3A story)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kgtm.materialize import (
+        LockCommitCoordinator,
+        RenameCommitCoordinator,
+        list_commits,
+        read_table,
+        write_table,
+    )
+
+    coord = {"rename": RenameCommitCoordinator, "lock": LockCommitCoordinator}[
+        coord_name
+    ]()
+    store = str(tmp_path / f"store-{coord_name}")
+    df = documents.limit(20).localCheckpoint(eager=True)
+    n = df.count()
+
+    def commit(_):
+        return write_table(
+            df, store, table="docs", partition_by=(), coordinator=coord
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        commits = list(pool.map(commit, range(6)))
+    seqs = sorted(c["seq"] for c in commits)
+    assert len(set(seqs)) == 6, seqs
+    assert [c["seq"] for c in list_commits(store)] == seqs
+    assert read_table(spark, store, table="docs").count() == 6 * n
