@@ -147,9 +147,36 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-CHECKED since round 4: the md5-derived 64-bit shingle hash is
+    reproducible in DuckDB SQL, and the Hamming-chunk banding is pigeonhole-
+    lossless, so the banded production path must equal the oracle's
+    all-pairs form exactly. max_hamming=16 here for gate signal (30 pairs at
+    sf0.01); production dedup uses tighter budgets (default 3), where the
+    3-bit chunks this setting induces would also be too dense to band well."""
     from kgtm.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=16).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
+def _q_minhash_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH derandomized: rows_per_band=0 hashes every doc into ONE
+    universal bucket (candidates = full pair space) and verify='exact'
+    replaces the signature estimate with the true n-gram Jaccard — so the
+    output must equal the uncapped exact ngram_jaccard oracle, certifying
+    the signature→banding→bucket-join→verify machinery lossless (the
+    minhash mirror of ann_lsh_exhaustive). The approximate minhash_lsh
+    entry then only risks recall, not correctness."""
+    from kgtm.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        threshold=0.2,
+        n_bands=1,
+        rows_per_band=0,
+        verify="exact",
+    )
 
 
 def _q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,16 +452,65 @@ def _q_curation_ledger_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin of the default params), proving the newer commit does not
     leak into historical reads. Versioned-snapshot semantics inherited from
     the reference's hash-versioned dictionary (download_archivo_urls.py:41-46).
+
+    The scratch store is deleted before returning: the as-of read is
+    eagerly checkpointed first, so the returned DataFrame no longer depends
+    on the store files (round-3 ADVICE: the earlier form leaked one temp
+    store per gate/bench invocation).
     """
+    import shutil
     import tempfile
 
     from kgtm.curation import curate_documents, persist_ledger, read_ledger
 
     docs = _docs(spark, sf_dir)
     store = tempfile.mkdtemp(prefix="kgtm-ledger-gate-")
-    c1 = persist_ledger(curate_documents(docs), store, params="default")
-    persist_ledger(curate_documents(docs, min_quality=0.99), store, params="strict")
-    return read_ledger(spark, store, as_of=c1["seq"])
+    try:
+        c1 = persist_ledger(curate_documents(docs), store, params="default")
+        persist_ledger(curate_documents(docs, min_quality=0.99), store, params="strict")
+        return read_ledger(spark, store, as_of=c1["seq"]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _q_incremental_curation_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 O(batch) ingest path end-to-end, value-checked: persist
+    the old 90% via persist_curated_corpus (snapshot + materialized digest/
+    shingle state), append the newest 10% WITHOUT old_docs (state-backed
+    delta commit), and return the batch's decisions from the resolved
+    ledger. Must hash-match the same full-run DuckDB twin restricted to the
+    batch as the in-memory incremental_curation gate — proving the store
+    round-trip (state write → state read → delta commit → snapshot+delta
+    resolution) changes nothing. Scratch store deleted after an eager
+    checkpoint, as above."""
+    import shutil
+    import tempfile
+
+    from kgtm.curation import (
+        append_curated_batch,
+        persist_curated_corpus,
+        read_ledger,
+    )
+
+    docs = _docs(spark, sf_dir)
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    split = (9 * (mx + 1)) // 10
+    old = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+    store = tempfile.mkdtemp(prefix="kgtm-ingest-gate-")
+    try:
+        persist_curated_corpus(
+            old, store, min_quality=0.45, jaccard_threshold=0.5
+        )
+        append_curated_batch(spark, store, new_docs=new)
+        out = (
+            read_ledger(spark, store)
+            .filter(F.col("doc_id") >= split)
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "curation_ledger_asof": _q_curation_ledger_asof,
         "incremental_curation": _q_incremental_curation,
+        "incremental_curation_stored": _q_incremental_curation_stored,
         "request_lifecycle": _q_request_lifecycle,
         "failover_resolution": _q_failover_resolution,
         "asof_per_row": _q_asof_per_row,
@@ -720,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
+        "minhash_exhaustive": _q_minhash_exhaustive,
         "simhash_neardup": _q_simhash,
         "quality_stats": _q_quality_stats,
         "token_counts": _q_token_counts,
@@ -736,9 +814,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # minhash_lsh / simhash_neardup / ann_lsh_topk / winnow_fingerprints /
-    # canonical_entities are probabilistic or iterative (non-SQL-expressible)
-    # → rows-only checks by omission.
+    # minhash_lsh / ann_lsh_topk / ann_ivf_topk / winnow_fingerprints /
+    # value_percentiles_approx are probabilistic or sketch-valued
+    # (non-SQL-expressible) → rows-only checks by omission; each has a
+    # value-checked derandomized twin (minhash_exhaustive, ann_lsh_exhaustive,
+    # ann_ivf_exhaustive, value_percentiles) or a bounded-error pytest.
+    # simhash_neardup graduated to a full value check in round 4 (md5-derived
+    # hashes are SQL-reproducible and the banding is pigeonhole-lossless).
     return {
         "turn_assembly": oracles.q_turn_assembly(),
         "mention_hosts": oracles.q_mention_hosts(),
@@ -762,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": oracles.q_corpus_curation(),
         "curation_ledger_asof": oracles.q_corpus_curation(),
         "incremental_curation": f"SELECT * FROM ({oracles.q_corpus_curation()}) WHERE doc_id >= (SELECT (9*(max(doc_id)+1))//10 FROM documents)",
+        "incremental_curation_stored": f"SELECT * FROM ({oracles.q_corpus_curation()}) WHERE doc_id >= (SELECT (9*(max(doc_id)+1))//10 FROM documents)",
         "request_lifecycle": oracles.q_request_lifecycle(),
         "failover_resolution": oracles.q_failover_resolution(),
         "asof_per_row": oracles.q_asof_per_row(),
@@ -778,6 +861,8 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": oracles.q_value_percentiles(),
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),
+        "minhash_exhaustive": oracles.q_ngram_jaccard(0.2),
+        "simhash_neardup": oracles.q_simhash_exhaustive(16),
         "quality_stats": oracles.q_quality_stats(),
         "token_counts": oracles.q_token_counts(),
         "ann_topk": oracles.q_ann_topk(5, 10),

@@ -140,6 +140,7 @@ def incremental_curate(
     id_col: str = "doc_id",
     corpus_digests: DataFrame | None = None,
     corpus_flat: DataFrame | None = None,
+    corpus_shingle_df: DataFrame | None = None,
     skip_guards: bool = False,
 ) -> DataFrame:
     """Curate ONLY a newly-arrived batch against an already-curated corpus:
@@ -269,9 +270,11 @@ def incremental_curate(
     if state_mode:
         # corpus_flat already holds the old participants' (id, shingle) rows;
         # only the batch is shingled from text. The df cap runs over the
-        # COMBINED flat — same shingle space as a full run, so a shingle
-        # pushed over the cap by the batch is dropped on both sides exactly
-        # as curate_documents would.
+        # COMBINED shingle space — same as a full run, so a shingle pushed
+        # over the cap by the batch is dropped on both sides exactly as
+        # curate_documents would.
+        from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF
+
         new_flat = flat_shingles(
             hq_new.join(new_survived_exact, id_col, "left_semi").select(
                 F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -279,13 +282,29 @@ def incremental_curate(
             text_col="text",
             id_col="doc_id",
         )
-        from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF
-
         combined = corpus_flat.select("id", "shingle").unionByName(new_flat)
+        if corpus_shingle_df is not None:
+            # hot set from the MATERIALIZED per-shingle df contributions +
+            # the batch's own counts — an aggregation over (distinct
+            # shingles + batch), not a groupBy shuffle of the whole corpus
+            # flat. Contribution sums == a fresh count over the combined
+            # flat because contributions partition it by commit.
+            batch_df = new_flat.groupBy("shingle").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+            hot = (
+                corpus_shingle_df.select("shingle", "df")
+                .unionByName(batch_df)
+                .groupBy("shingle")
+                .agg(F.sum("df").alias("df_total"))
+                .filter(F.col("df_total") > DEFAULT_MAX_SHINGLE_DF)
+                .select("shingle")
+            )
+            pair_side = combined.join(F.broadcast(hot), "shingle", "left_anti")
+        else:
+            pair_side = _apply_cap(combined, DEFAULT_MAX_SHINGLE_DF)
         pairs = probe_pairs_from_flat(
-            _apply_cap(combined, DEFAULT_MAX_SHINGLE_DF),
-            new_survived_exact,
-            jaccard_threshold,
+            pair_side, new_survived_exact, jaccard_threshold
         )
     else:
         old_participants = old_docs.join(
@@ -378,7 +397,7 @@ def _commit_ledger_rows(
 # materialized corpus-side curation state (digests + shingle flat)
 # ---------------------------------------------------------------------------
 
-STATE_TABLES = ("ledger_digests", "ledger_shingles")
+STATE_TABLES = ("ledger_digests", "ledger_shingles", "ledger_shingle_df")
 
 
 def _state_frames(
@@ -398,11 +417,19 @@ def _state_frames(
                                are precisely the near-dup graph participants
                                (exact survivors) — exactly the corpus side
                                of the probe pair join.
+      shingle_df (shingle, df) — the commit's per-shingle document-frequency
+                               CONTRIBUTION. Summed across commits (+ the
+                               incoming batch) it reproduces the global df,
+                               so the hot-shingle cap is decided from a
+                               compact pre-aggregated table instead of a
+                               full groupBy over the corpus flat — the last
+                               O(corpus)-shuffle the state path had.
 
-    Both contributions are O(commit) — a snapshot writes its corpus once, a
+    All contributions are O(commit) — a snapshot writes its corpus once, a
     delta writes only its batch — and disjoint across commits (keepers'
     digests are unseen by construction; participant ids are the commit's
-    own), so the state tables accrete append-only with no read-side dedup.
+    own), so the state tables accrete append-only with no read-side dedup
+    (df contributions additively merge by design).
     """
     from kgtm.dedup import flat_shingles
 
@@ -415,23 +442,29 @@ def _state_frames(
     ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     digests = participants.select(F.md5("text").alias("dg"))
     flat = flat_shingles(participants, text_col="text", id_col="doc_id")
-    return digests, flat
+    sh_df = flat.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return digests, flat, sh_df
 
 
 def _write_state(
     digests: DataFrame,
     flat: DataFrame,
+    sh_df: DataFrame,
     out_dir: str,
     for_ledger_commit: str,
     replaces: dict[str, list[str]] | None = None,
 ) -> None:
-    """Commit the two state contributions, each tagged with the ledger commit
+    """Commit the state contributions, each tagged with the ledger commit
     it belongs to (``for_ledger_commit``) — state reads resolve by mapping
     the resolved ledger commits to their state commits, so a re-curated
     snapshot automatically orphans the previous corpus state."""
     from kgtm.materialize import write_table
 
-    for table, df in (("ledger_digests", digests), ("ledger_shingles", flat)):
+    for table, df in (
+        ("ledger_digests", digests),
+        ("ledger_shingles", flat),
+        ("ledger_shingle_df", sh_df),
+    ):
         manifest: dict = {
             "ledger_kind": "state",
             "for_ledger_commit": for_ledger_commit,
@@ -443,11 +476,11 @@ def _write_state(
 
 def _read_state(
     spark, out_dir: str, resolved: list[dict]
-) -> tuple[DataFrame, DataFrame] | None:
-    """(digests, flat) covering EXACTLY the resolved ledger commits, or None
-    when any resolved commit lacks a state commit (state was never written,
-    or a writer crashed between the ledger commit and its state commits) —
-    callers then fall back to derive mode."""
+) -> tuple[DataFrame, DataFrame, DataFrame] | None:
+    """(digests, flat, shingle_df) covering EXACTLY the resolved ledger
+    commits, or None when any resolved commit lacks a state commit (state
+    was never written, or a writer crashed between the ledger commit and its
+    state commits) — callers then fall back to derive mode."""
     from kgtm.materialize import list_commits, read_table
 
     want = {c["commit_id"] for c in resolved}
@@ -469,7 +502,7 @@ def _read_state(
                 F.col("commit").isin([c["commit_id"] for c in sel])
             ).drop("commit")
         )
-    return frames[0], frames[1]
+    return frames[0], frames[1], frames[2]
 
 
 def persist_curated_corpus(
@@ -494,9 +527,51 @@ def persist_curated_corpus(
     c = persist_ledger(
         ledger, out_dir, min_quality=min_quality, jaccard_threshold=jaccard_threshold
     )
-    digests, flat = _state_frames(docs, ledger, text_col, id_col)
-    _write_state(digests, flat, out_dir, c["commit_id"])
+    digests, flat, sh_df = _state_frames(docs, ledger, text_col, id_col)
+    _write_state(digests, flat, sh_df, out_dir, c["commit_id"])
     return c
+
+
+def upgrade_to_state(spark, out_dir: str, docs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """Backfill materialized curation state for a store written before state
+    existed (plain persist_ledger / derive-mode appends), WITHOUT
+    re-curating: one linear derivation pass over ``docs`` (which must be the
+    corpus the newest ledger version covers — verified against the ledger's
+    id set), then every future append is state-backed and old_docs-free.
+
+    Contribution tagging requires one state commit per resolved ledger
+    commit, so a multi-commit chain is first folded by compact_ledger (a
+    metadata+rewrite operation, no re-curation); the state is then derived
+    once for the single resolved snapshot. Returns that snapshot's manifest.
+    """
+    resolved = _resolve_ledger_commits(spark, out_dir)
+    if len(resolved) > 1:
+        compact_ledger(spark, out_dir)
+        resolved = _resolve_ledger_commits(spark, out_dir)
+    target = resolved[0]
+    if _read_state(spark, out_dir, resolved) is not None:
+        return target  # already state-backed
+    ledger = _read_resolved_ledger(spark, out_dir, resolved)
+    mismatch = (
+        ledger.select(F.col(id_col).alias("id")).withColumn("_l", F.lit(True))
+        .join(
+            docs.select(F.col(id_col).alias("id")).withColumn("_d", F.lit(True)),
+            "id",
+            "full_outer",
+        )
+        .filter(F.col("_l").isNull() | F.col("_d").isNull())
+        .count()
+    )
+    if mismatch:
+        raise ValueError(
+            f"docs does not match the newest ledger version's corpus "
+            f"({mismatch} ids differ) — pass the exact document set the "
+            "ledger covers"
+        )
+    digests, flat, sh_df = _state_frames(docs, ledger, text_col, id_col)
+    _write_state(digests, flat, sh_df, out_dir, target["commit_id"])
+    return target
 
 
 def append_curated_batch(
@@ -563,7 +638,7 @@ def append_curated_batch(
 
     state = _read_state(spark, out_dir, resolved)
     if state is not None:
-        corpus_digests, corpus_flat = state
+        corpus_digests, corpus_flat, corpus_shingle_df = state
         # single-job preconditions: monotone ids + threshold drift, straight
         # from the ledger (it covers every old doc, scored)
         row = (
@@ -584,6 +659,7 @@ def append_curated_batch(
             id_col=id_col,
             corpus_digests=corpus_digests,
             corpus_flat=corpus_flat,
+            corpus_shingle_df=corpus_shingle_df,
             skip_guards=True,
         )
     else:
@@ -666,8 +742,8 @@ def append_curated_batch(
         # commit — a crash in between leaves the ledger authoritative and
         # _read_state incomplete, so the next append falls back to derive
         # mode instead of reading half-state.)
-        digests, flat = _state_frames(new_docs, new_rows, text_col, id_col)
-        _write_state(digests, flat, out_dir, c["commit_id"])
+        digests, flat, sh_df = _state_frames(new_docs, new_rows, text_col, id_col)
+        _write_state(digests, flat, sh_df, out_dir, c["commit_id"])
     return c
 
 
@@ -703,7 +779,7 @@ def compact_ledger(spark, out_dir: str) -> dict:
     if state is not None:
         from kgtm.materialize import list_commits
 
-        digests, flat = state
+        digests, flat, sh_df = state
         want = {rc["commit_id"] for rc in resolved}
         old_state = {
             table: [
@@ -716,6 +792,12 @@ def compact_ledger(spark, out_dir: str) -> dict:
         _write_state(
             digests.localCheckpoint(eager=True),
             flat.localCheckpoint(eager=True),
+            # fold the per-commit df contributions into canonical totals —
+            # consumers sum contributions anyway, but compaction is the
+            # moment to collapse duplicates of hot shingles
+            sh_df.groupBy("shingle")
+            .agg(F.sum("df").alias("df"))
+            .localCheckpoint(eager=True),
             out_dir,
             c["commit_id"],
             replaces=old_state,

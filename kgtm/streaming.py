@@ -326,6 +326,79 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    n: int = 3,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """Bounded-state streaming NEAR-dup dedup — the ingest-side complement of
+    streaming_exact_dedup (which only catches byte-identical content).
+
+    Key = xxhash64 of ONE MinHash band (``rows_per_band`` minhashes of the
+    doc's word n-gram shingles); dropDuplicatesWithinWatermark evicts band
+    keys once the watermark passes, so state stays bounded exactly as in the
+    exact variant.
+
+    The trade, explicitly: a later doc is dropped iff its band key collides
+    with an earlier in-watermark doc.
+      - RECALL on true near-dups is probabilistic: P(band match | Jaccard J)
+        = J^rows_per_band (J=1 → always, J=0.9 @ 8 rows → ~0.43); shrink
+        rows_per_band for more aggressive dedup. Survivor near-dups are
+        caught by the batch pass over the materialized table
+        (dedup.minhash_lsh_pairs), same straggler contract as the exact
+        variant's late-duplicate window.
+      - FALSE DROPS of genuinely dissimilar docs require either a low-J
+        band agreement (J^rows_per_band ≈ 0 for small J) or a raw 64-bit
+        band-hash collision (~2^-64/pair) — negligible by construction,
+        which is why a single band with no verify stage is acceptable here
+        while batch LSH verifies candidates.
+    Docs too short to shingle (< n words, incl. NULL/'' text) fall back to
+    an exact length-prefixed content digest key — only byte-identical short
+    docs dedup, never "all short docs into one bucket" (the NULL-signature
+    hot-bucket hazard documented on minhash_lsh_pairs).
+    """
+    keyed = with_minhash_band_key(
+        stream.withWatermark(ts_col, watermark), text_col, n, rows_per_band
+    )
+    return keyed.dropDuplicatesWithinWatermark(["_nd_key"]).drop("_nd_key")
+
+
+def with_minhash_band_key(
+    df: DataFrame, text_col: str = "text", n: int = 3, rows_per_band: int = 8
+) -> DataFrame:
+    """Append the near-dup band key column ``_nd_key`` (see
+    streaming_minhash_dedup for its semantics). Works on batch frames too —
+    the stream==batch parity tests build their batch twin with the SAME
+    expression, so the two paths cannot drift."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    from kgtm.dedup import grams_expr, minhash_signature_series
+
+    sig_udf = F.pandas_udf(
+        lambda s: minhash_signature_series(s, rows_per_band), ArrayType(LongType())
+    )
+    staged = (
+        # staged projections: the split materializes once per row before the
+        # gram transform (the grams_expr perf contract)
+        df.withColumn("_w", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .withColumn("_sh", grams_expr("_w", n))
+        .withColumn("_sig", sig_udf(F.col("_sh")))
+    )
+    key = F.when(
+        F.col("_sig").isNotNull(),
+        F.concat(F.lit("band:"), F.xxhash64("_sig").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("short:"),
+            F.md5(F.coalesce(F.col(text_col), F.lit("\x00<null>"))),
+        )
+    )
+    return staged.withColumn("_nd_key", key).drop("_w", "_sh", "_sig")
+
+
 def windowed_conv_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

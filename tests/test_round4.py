@@ -152,7 +152,7 @@ def test_state_mode_equals_derive_mode_on_planted_corners(spark):
     old = planted.filter(F.col("doc_id") < 10)
     new = planted.filter(F.col("doc_id") >= 10)
     old_ledger = curate_documents(old).localCheckpoint(eager=True)
-    digests, flat = _state_frames(old, old_ledger, "text", "doc_id")
+    digests, flat, sh_df = _state_frames(old, old_ledger, "text", "doc_id")
 
     cols = ["doc_id", "quality_score", "kept", "drop_reason"]
 
@@ -163,9 +163,20 @@ def test_state_mode_equals_derive_mode_on_planted_corners(spark):
     state = incremental_curate(
         None, old_ledger, new, corpus_digests=digests, corpus_flat=flat
     )
+    # with the materialized df table the cap decision comes from contribution
+    # sums instead of a corpus-flat groupBy — decisions must not change
+    state_df = incremental_curate(
+        None,
+        old_ledger,
+        new,
+        corpus_digests=digests,
+        corpus_flat=flat,
+        corpus_shingle_df=sh_df,
+    )
     full = curate_documents(planted).filter(F.col("doc_id") >= 10)
     assert snap(derive) == snap(full)
     assert snap(state) == snap(full)
+    assert snap(state_df) == snap(full)
     got = {r[0]: r for r in state.collect()}
     assert got[10][3] == "exact-dup" and got[11][3] == "near-dup"
     assert got[12][3] == "near-dup" and got[13][3] == "low-quality"
@@ -293,3 +304,93 @@ def test_concurrent_writers_through_coordinators(spark, documents, tmp_path, coo
     assert len(set(seqs)) == 6, seqs
     assert [c["seq"] for c in list_commits(store)] == seqs
     assert read_table(spark, store, table="docs").count() == 6 * n
+
+
+# ---------------------------------------------------------------------------
+# bounded-error contract for the approx percentile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_value_percentiles_approx_within_rank_error(spark, events):
+    """percentile_approx(accuracy=A) guarantees rank error <= 1/A: for every
+    (event_type, percentile) the approx value's rank among the group's exact
+    values must land inside [(p - eps) * N, (p + eps) * N] (+-1 for ties /
+    integer rank edges). This quantifies the last sketch-valued gate query
+    (value_percentiles_approx has no hash oracle by nature)."""
+    from kgtm.sessions import value_percentiles_approx
+
+    accuracy = 10000
+    eps = 1.0 / accuracy
+    approx = {
+        r.event_type: r
+        for r in value_percentiles_approx(events, accuracy=accuracy).collect()
+    }
+    groups = (
+        events.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vals"))
+        .collect()
+    )
+    assert len(groups) == len(approx) > 0
+    for g in groups:
+        vals, n = g.vals, len(g.vals)
+        row = approx[g.event_type]
+        for p, got in ((0.5, row.p50), (0.95, row.p95), (0.99, row.p99)):
+            # rank of the approx value = number of exact values <= it
+            import bisect
+
+            rank = bisect.bisect_right(vals, got)
+            lo = (p - eps) * n - 1
+            hi = (p + eps) * n + 1
+            assert lo <= rank <= hi, (
+                f"{g.event_type} p{int(p*100)}: approx {got} has rank {rank}"
+                f"/{n}, outside [{lo:.1f}, {hi:.1f}]"
+            )
+            # and the approx value is an actual member of the group (the
+            # sketch returns observed values, never interpolations)
+            assert got in vals
+
+
+def test_upgrade_to_state_backfills_pre_state_store(spark, documents, tmp_path):
+    """A store written before state existed (persist_ledger + derive-mode
+    delta appends) upgrades via ONE linear derivation pass — no re-curation;
+    the chain is compacted first so contributions tag a single snapshot, and
+    the next append runs state-backed with no old_docs."""
+    from kgtm.curation import (
+        append_curated_batch,
+        curate_documents,
+        persist_ledger,
+        read_ledger,
+        upgrade_to_state,
+    )
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 150)
+    b1 = documents.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 180))
+    b2 = documents.filter((F.col("doc_id") >= 180) & (F.col("doc_id") < 210))
+    persist_ledger(
+        curate_documents(old, min_quality=0.4, jaccard_threshold=0.5),
+        store,
+        min_quality=0.4,
+        jaccard_threshold=0.5,
+    )
+    append_curated_batch(spark, store, old_docs=old, new_docs=b1)  # derive mode
+
+    corpus = documents.filter(F.col("doc_id") < 180)
+    with pytest.raises(ValueError, match="ids differ"):
+        upgrade_to_state(spark, store, corpus.limit(10))
+    target = upgrade_to_state(spark, store, corpus)
+    assert target["ledger_kind"] == "snapshot"  # chain was compacted
+    # idempotent
+    assert upgrade_to_state(spark, store, corpus)["commit_id"] == target["commit_id"]
+
+    c = append_curated_batch(spark, store, new_docs=b2)  # NO old_docs
+    assert c["ledger_kind"] == "delta"
+    latest = read_ledger(spark, store)
+    assert latest.count() == 210
+    full = curate_documents(
+        documents.filter(F.col("doc_id") < 210), min_quality=0.4, jaccard_threshold=0.5
+    )
+    cols = ["doc_id", "quality_score", "kept", "drop_reason"]
+    got = sorted(map(tuple, latest.filter(F.col("doc_id") >= 180).select(*cols).collect()))
+    want = sorted(map(tuple, full.filter(F.col("doc_id") >= 180).select(*cols).collect()))
+    assert got == want

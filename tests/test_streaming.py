@@ -304,3 +304,66 @@ def test_windowed_counts_with_watermark(spark, events, stream_dirs):
     )
     j = got.join(batch, ["window_start", "conv_id"], "left")
     assert j.filter(F.col("n_turns") != F.col("batch_n")).count() == 0
+
+
+def test_streaming_minhash_dedup_stream_equals_batch(spark, tmp_path):
+    """Bounded-state streaming NEAR-dup dedup: stream output == batch
+    dropDuplicates on the SAME band key (built by the shared
+    with_minhash_band_key, so the paths cannot drift). Planted cases: an
+    exact dup in a later micro-batch, a whitespace-variant near-dup whose
+    shingle set is identical (deterministic band match — exactly what the
+    exact-digest dedup misses), a distinct doc, identical short docs, and
+    the NULL-vs-'' pair (both must survive via the exact fallback key)."""
+    import datetime as dt
+
+    from kgtm.schemas import TRANSCRIPTS_SCHEMA
+    from kgtm.streaming import (
+        read_transcript_stream,
+        run_stream_to_parquet,
+        streaming_minhash_dedup,
+        with_minhash_band_key,
+    )
+
+    t0 = dt.datetime(2024, 7, 1)
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old harbor "
+        "while the people of the town watch the long story unfold slowly"
+    )
+    ws_variant = base.replace("fox jumps", "fox  jumps")  # same word sequence
+    distinct = (
+        "completely different content about spark shuffle partitioning and "
+        "broadcast joins in a large distributed aggregation pipeline today"
+    )
+    rows1 = [
+        ("c1", 0, "user", base, None, t0),
+        ("c1", 1, "user", distinct, None, t0),
+        ("c1", 2, "user", "hi", None, t0),
+        ("c1", 3, "user", None, None, t0),
+        ("c1", 4, "user", "", None, t0),
+    ]
+    rows2 = [
+        ("c2", 0, "user", base, None, t0),        # exact dup → drop
+        ("c2", 1, "user", ws_variant, None, t0),  # near-dup (same shingles) → drop
+        ("c2", 2, "user", "hi", None, t0),        # identical short → drop
+        ("c2", 3, "user", "yo", None, t0),        # distinct short → keep
+    ]
+    in_dir = str(tmp_path / "nd_in")
+    spark.createDataFrame(rows1, TRANSCRIPTS_SCHEMA).write.mode("overwrite").parquet(in_dir)
+    spark.createDataFrame(rows2, TRANSCRIPTS_SCHEMA).write.mode("append").parquet(in_dir)
+
+    out_dir, ck = str(tmp_path / "nd_out"), str(tmp_path / "nd_ck")
+    run_stream_to_parquet(
+        streaming_minhash_dedup(read_transcript_stream(spark, in_dir)), out_dir, ck
+    )
+    got = spark.read.parquet(out_dir)
+
+    batch = with_minhash_band_key(spark.read.parquet(in_dir)).dropDuplicates(["_nd_key"])
+    assert got.count() == batch.count() == 6  # base, distinct, hi, NULL, '', yo
+    g_keys = {r._nd_key for r in with_minhash_band_key(got).select("_nd_key").collect()}
+    b_keys = {r._nd_key for r in batch.select("_nd_key").collect()}
+    assert g_keys == b_keys
+    kept_texts = {r.text for r in got.select("text").collect()}
+    # exactly ONE of the near-dup pair survives (which one is arbitrary: the
+    # file source may fold both input files into a single micro-batch)
+    assert len({base, ws_variant} & kept_texts) == 1
+    assert None in kept_texts and "" in kept_texts and "yo" in kept_texts
