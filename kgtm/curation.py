@@ -189,8 +189,7 @@ def incremental_curate(
         dedup_clusters,
         flat_shingles,
         ngram_jaccard_pairs_probe,
-        probe_pairs_from_flat,
-        _apply_cap,
+        probe_pairs_from_split,
     )
 
     state_mode = corpus_digests is not None and corpus_flat is not None
@@ -282,7 +281,7 @@ def incremental_curate(
             text_col="text",
             id_col="doc_id",
         )
-        combined = corpus_flat.select("id", "shingle").unionByName(new_flat)
+        old_flat = corpus_flat.select("id", "shingle")
         if corpus_shingle_df is not None:
             # hot set from the MATERIALIZED per-shingle df contributions +
             # the batch's own counts — an aggregation over (distinct
@@ -300,11 +299,23 @@ def incremental_curate(
                 .filter(F.col("df_total") > DEFAULT_MAX_SHINGLE_DF)
                 .select("shingle")
             )
-            pair_side = combined.join(F.broadcast(hot), "shingle", "left_anti")
         else:
-            pair_side = _apply_cap(combined, DEFAULT_MAX_SHINGLE_DF)
-        pairs = probe_pairs_from_flat(
-            pair_side, new_survived_exact, jaccard_threshold
+            combined = old_flat.unionByName(new_flat)
+            hot = (
+                combined.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df_"))
+                .filter(F.col("df_") > DEFAULT_MAX_SHINGLE_DF)
+                .select("shingle")
+            )
+        # the probe/rest split is known BY CONSTRUCTION here (probe ids ==
+        # the batch's ids == exactly new_flat's ids), so skip the two probe-
+        # membership joins the generic entry point runs over the full flat —
+        # the corpus flat is touched once by the pair join and once by the
+        # participant-size pass, nothing else
+        pairs = probe_pairs_from_split(
+            new_flat.join(F.broadcast(hot), "shingle", "left_anti"),
+            old_flat.join(F.broadcast(hot), "shingle", "left_anti"),
+            jaccard_threshold,
         )
     else:
         old_participants = old_docs.join(

@@ -253,6 +253,18 @@ def probe_pairs_from_flat(
     probe = probe_ids.select(F.col(probe_ids.columns[0]).alias("id")).distinct()
     p = pair_side.join(probe, "id", "left_semi")
     o = pair_side.join(probe, "id", "left_anti")
+    return probe_pairs_from_split(p, o, threshold)
+
+
+def probe_pairs_from_split(
+    p: DataFrame, o: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Probe pairs when the probe/rest split of the capped flat is ALREADY
+    known: ``p`` = probe-side (id, shingle) rows, ``o`` = rest. The
+    state-backed incremental curation path lands here directly — its probe
+    ids are exactly the batch's ids, so p is the batch's own flat and o the
+    stored corpus flat, skipping the two probe-membership joins (each a full
+    scan of the corpus flat) that the generic entry point needs."""
     # probe×probe (ordered) + probe×rest (normalized to id_a < id_b);
     # the two joins are disjoint by construction, so no pair double-counts
     pp = (
@@ -286,7 +298,8 @@ def probe_pairs_from_flat(
         .distinct()
     )
     sizes = (
-        pair_side.join(participants, "id", "left_semi")
+        p.unionByName(o)
+        .join(participants, "id", "left_semi")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
