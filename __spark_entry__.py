@@ -150,9 +150,23 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUE-CHECKED since round 4: the md5-derived 64-bit shingle hash is
     reproducible in DuckDB SQL, and the Hamming-chunk banding is pigeonhole-
     lossless, so the banded production path must equal the oracle's
-    all-pairs form exactly. max_hamming=16 here for gate signal (30 pairs at
-    sf0.01); production dedup uses tighter budgets (default 3), where the
-    3-bit chunks this setting induces would also be too dense to band well."""
+    all-pairs form exactly. Production default budget (max_hamming=3 → four
+    16-bit chunks — sparse buckets, the shape that scales); the wide-budget
+    variant below exercises non-divisor chunking."""
+    from kgtm.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
+def _q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide Hamming budget (16 → SEVENTEEN 3-bit chunks + 13 uncovered bits):
+    value-checks the pigeonhole argument in its non-divisor form — uncovered
+    differing bits count toward Hamming but never break a chunk match, so
+    the banded output still equals the all-pairs twin. Gate-only: 3-bit
+    chunks are intentionally dense (the docstring's anti-pattern), so this
+    stays out of the bench headline suite."""
     from kgtm.dedup import simhash_pairs
 
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=16).withColumn(
@@ -799,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "minhash_exhaustive": _q_minhash_exhaustive,
         "simhash_neardup": _q_simhash,
+        "simhash_wide_hamming": _q_simhash_wide,
         "quality_stats": _q_quality_stats,
         "token_counts": _q_token_counts,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -862,7 +877,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.q_dedup_exact(),
         "ngram_jaccard": oracles.q_ngram_jaccard(0.2),
         "minhash_exhaustive": oracles.q_ngram_jaccard(0.2),
-        "simhash_neardup": oracles.q_simhash_exhaustive(16),
+        "simhash_neardup": oracles.q_simhash_exhaustive(3),
+        "simhash_wide_hamming": oracles.q_simhash_exhaustive(16),
         "quality_stats": oracles.q_quality_stats(),
         "token_counts": oracles.q_token_counts(),
         "ann_topk": oracles.q_ann_topk(5, 10),
