@@ -507,7 +507,12 @@ def _read_state(
         ]
         if {c["for_ledger_commit"] for c in sel} != want:
             return None
-        df = read_table(spark, out_dir, table=table)
+        try:
+            df = read_table(spark, out_dir, table=table)
+        except FileNotFoundError:
+            # manifests exist but every data dir is gone (out-of-band
+            # deletion) — treat as no state rather than failing the append
+            return None
         frames.append(
             df.filter(
                 F.col("commit").isin([c["commit_id"] for c in sel])
@@ -650,16 +655,9 @@ def append_curated_batch(
     state = _read_state(spark, out_dir, resolved)
     if state is not None:
         corpus_digests, corpus_flat, corpus_shingle_df = state
-        # single-job preconditions: monotone ids + threshold drift, straight
-        # from the ledger (it covers every old doc, scored)
-        row = (
-            old_ledger.agg(
-                F.max(id_col).alias("mx"), F.sum(_drift_flag(mq)).alias("n_drift")
-            )
-            .crossJoin(new_docs.agg(F.min(id_col).alias("mn")))
-            .first()
-        )
-        _check_guard_row(row, mq)
+        # preconditions (monotone ids + threshold drift) run INSIDE
+        # incremental_curate — its single-job guard reads them from the
+        # ledger, which is exactly the right source here
         new_rows = incremental_curate(
             None,
             old_ledger,
@@ -671,7 +669,6 @@ def append_curated_batch(
             corpus_digests=corpus_digests,
             corpus_flat=corpus_flat,
             corpus_shingle_df=corpus_shingle_df,
-            skip_guards=True,
         )
     else:
         if old_docs is None:
@@ -770,7 +767,16 @@ def compact_ledger(spark, out_dir: str) -> dict:
     commit, so threshold resolution for future appends is unchanged (the
     generic compact_table would have dropped them — and double-read every
     doc_id; it refuses ledger tables for exactly that reason).
+
+    Concurrency: same contract as append_curated_batch — a delta landing
+    between resolution and the compaction commit would be permanently hidden
+    (its seq falls below the compacted snapshot's, and `replaces` does not
+    list it), so the fold re-checks the newest ledger commit as late as
+    possible and refuses when the chain moved. The residual check→commit
+    window keeps ledger maintenance single-writer per store, like appends.
     """
+    from kgtm.materialize import list_commits
+
     resolved = _resolve_ledger_commits(spark, out_dir)
     if len(resolved) < 2:
         raise ValueError(
@@ -780,6 +786,15 @@ def compact_ledger(spark, out_dir: str) -> dict:
     full = _read_resolved_ledger(spark, out_dir, resolved).localCheckpoint(eager=True)
     params = resolved[-1].get("curation_params", {})
     state = _read_state(spark, out_dir, resolved)
+    current = _latest_ledger_commit(spark, out_dir)
+    if current["commit_id"] != resolved[-1]["commit_id"]:
+        raise RuntimeError(
+            f"concurrent ledger commit {current['commit_id']} landed after "
+            f"the resolved chain head {resolved[-1]['commit_id']} — re-run "
+            "the compaction (folding now would hide the newer commit: its "
+            "seq would fall below the compacted snapshot's and it is not in "
+            "the replaces list)"
+        )
     c = _commit_ledger_rows(
         full,
         out_dir,
@@ -788,14 +803,13 @@ def compact_ledger(spark, out_dir: str) -> dict:
         extra={"replaces": [rc["commit_id"] for rc in resolved]},
     )
     if state is not None:
-        from kgtm.materialize import list_commits
-
         digests, flat, sh_df = state
         want = {rc["commit_id"] for rc in resolved}
+        all_commits = list_commits(out_dir, spark)  # ONE manifest scan
         old_state = {
             table: [
                 sc["commit_id"]
-                for sc in list_commits(out_dir, spark)
+                for sc in all_commits
                 if sc.get("table") == table and sc.get("for_ledger_commit") in want
             ]
             for table in STATE_TABLES

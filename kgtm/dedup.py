@@ -404,7 +404,13 @@ def minhash_lsh_pairs(
     # before it, Catalyst evaluates the Python UDF twice (filter + project),
     # and filtering on size(sh) instead re-inlines the gram expression —
     # both measured 3-5x slower at sf0.1.
-    shfr = with_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    shfr = with_shingles(df, text_col, id_col, n)
+    if verify == "exact":
+        # only the exact-verify path reads the shingle arrays AGAIN (the two
+        # verify joins) — checkpoint them for that reuse; in estimate mode
+        # shfr feeds exactly one projection and materializing the shingled
+        # corpus would be pure memory cost on the hot path
+        shfr = shfr.localCheckpoint(eager=False)
     sigs = shfr.select(
         "id", sig_udf(F.col("sh")).alias("sig")
     ).localCheckpoint(eager=False).filter(F.col("sig").isNotNull())
@@ -560,6 +566,10 @@ def simhash_pairs(
         raise ValueError("max_hamming must be in [0, 63] (64-bit simhash)")
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
+    # max_hamming=0 → ONE 64-bit chunk: the mask literal (1<<64)-1 would
+    # overflow a Java long, and no masking is needed anyway — the chunk IS
+    # the whole simhash (exact-simhash-equality dedup).
+    full_chunk = chunk_bits == 64
     udf = F.pandas_udf(lambda s: simhash_series(s), LongType())
     # Empty-shingle docs get a NULL simhash; their chunk values are NULL and
     # an equi-join key of NULL matches nothing, so they self-eliminate from
@@ -579,7 +589,9 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sim"), i * chunk_bits).bitwiseAND(
+                    F.col("sim")
+                    if full_chunk
+                    else F.shiftright(F.col("sim"), i * chunk_bits).bitwiseAND(
                         F.lit((1 << chunk_bits) - 1)
                     )
                     for i in range(n_chunks)

@@ -387,15 +387,24 @@ def with_minhash_band_key(
         .withColumn("_sh", grams_expr("_w", n))
         .withColumn("_sig", sig_udf(F.col("_sh")))
     )
+    # fallback digest uses the SAME length-prefix encoding as
+    # streaming_exact_dedup: NULL ('n'), '' ('s0:'), and any literal text
+    # (including one that happens to spell a sentinel) hash distinctly —
+    # the exact-fallback path must never false-drop
+    short_digest = F.md5(
+        F.when(F.col(text_col).isNull(), F.lit("n")).otherwise(
+            F.concat(
+                F.lit("s"),
+                F.length(F.col(text_col)).cast("string"),
+                F.lit(":"),
+                F.col(text_col),
+            )
+        )
+    )
     key = F.when(
         F.col("_sig").isNotNull(),
         F.concat(F.lit("band:"), F.xxhash64("_sig").cast("string")),
-    ).otherwise(
-        F.concat(
-            F.lit("short:"),
-            F.md5(F.coalesce(F.col(text_col), F.lit("\x00<null>"))),
-        )
-    )
+    ).otherwise(F.concat(F.lit("short:"), short_digest))
     return staged.withColumn("_nd_key", key).drop("_w", "_sh", "_sig")
 
 

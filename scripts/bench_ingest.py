@@ -50,7 +50,9 @@ def amplified_docs(spark, sf_dir: str, factor: int):
     (distinct corpus growth, not a pile of near-dups); doc_ids are offset per
     rep block so monotonicity holds for any id-ordered batch split."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n = 5000 if "0.1" in sf_dir else docs.count()
+    # block stride = max id + 1 (NOT count): sparse ids would otherwise make
+    # rep blocks overlap and corrupt the sweep with duplicate doc_ids
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
     reps = spark.range(factor).select(F.col("id").alias("rep"))
     amp = docs.crossJoin(reps).select(
         (F.col("doc_id") + F.col("rep") * F.lit(n)).alias("doc_id"),

@@ -92,6 +92,14 @@ def test_simhash_near_dup(spark, dup_docs):
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 16
     assert (0, 3) not in pairs
+    # max_hamming=0 = exact simhash equality: one 64-bit chunk, no mask
+    # literal (a (1<<64)-1 lit would overflow a Java long — regression)
+    exact = {(r.id_a, r.id_b) for r in simhash_pairs(dup_docs, max_hamming=0).collect()}
+    assert exact == {(0, 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be in"):
+        simhash_pairs(dup_docs, max_hamming=64)
 
 
 def test_embedding_neardup(spark):

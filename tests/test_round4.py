@@ -394,3 +394,39 @@ def test_upgrade_to_state_backfills_pre_state_store(spark, documents, tmp_path):
     got = sorted(map(tuple, latest.filter(F.col("doc_id") >= 180).select(*cols).collect()))
     want = sorted(map(tuple, full.filter(F.col("doc_id") >= 180).select(*cols).collect()))
     assert got == want
+
+
+def test_compact_ledger_detects_concurrent_append(spark, documents, tmp_path, monkeypatch):
+    """A delta landing between compact_ledger's chain resolution and its
+    commit would be permanently hidden (seq below the compacted snapshot,
+    absent from replaces) — the late re-check must refuse instead. Injected
+    via the _read_state seam, which runs after resolution and before the
+    commit."""
+    import kgtm.curation as cur
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 120)
+    b1 = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    b2 = documents.filter((F.col("doc_id") >= 140) & (F.col("doc_id") < 160))
+    cur.persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+    cur.append_curated_batch(spark, store, new_docs=b1)
+
+    real_read_state = cur._read_state
+    fired = {"done": False}
+
+    def sneaky(sp, od, resolved):
+        out = real_read_state(sp, od, resolved)
+        if not fired["done"]:
+            fired["done"] = True
+            cur.append_curated_batch(sp, od, new_docs=b2)  # the racing writer
+        return out
+
+    monkeypatch.setattr(cur, "_read_state", sneaky)
+    with pytest.raises(RuntimeError, match="concurrent ledger commit"):
+        cur.compact_ledger(spark, store)
+    monkeypatch.setattr(cur, "_read_state", real_read_state)
+    # nothing was hidden: all three versions' rows resolve, and the fold
+    # now succeeds over the full chain
+    assert cur.read_ledger(spark, store).count() == 160
+    cur.compact_ledger(spark, store)
+    assert cur.read_ledger(spark, store).count() == 160

@@ -340,6 +340,7 @@ def test_streaming_minhash_dedup_stream_equals_batch(spark, tmp_path):
         ("c1", 2, "user", "hi", None, t0),
         ("c1", 3, "user", None, None, t0),
         ("c1", 4, "user", "", None, t0),
+        ("c1", 5, "user", "n", None, t0),  # literal 'n' ≠ the NULL encoding
     ]
     rows2 = [
         ("c2", 0, "user", base, None, t0),        # exact dup → drop
@@ -358,7 +359,8 @@ def test_streaming_minhash_dedup_stream_equals_batch(spark, tmp_path):
     got = spark.read.parquet(out_dir)
 
     batch = with_minhash_band_key(spark.read.parquet(in_dir)).dropDuplicates(["_nd_key"])
-    assert got.count() == batch.count() == 6  # base, distinct, hi, NULL, '', yo
+    # base, distinct, hi, NULL, '', 'n', yo
+    assert got.count() == batch.count() == 7
     g_keys = {r._nd_key for r in with_minhash_band_key(got).select("_nd_key").collect()}
     b_keys = {r._nd_key for r in batch.select("_nd_key").collect()}
     assert g_keys == b_keys
@@ -367,3 +369,4 @@ def test_streaming_minhash_dedup_stream_equals_batch(spark, tmp_path):
     # file source may fold both input files into a single micro-batch)
     assert len({base, ws_variant} & kept_texts) == 1
     assert None in kept_texts and "" in kept_texts and "yo" in kept_texts
+    assert "n" in kept_texts  # length-prefixed fallback: no sentinel collision
