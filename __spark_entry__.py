@@ -829,13 +829,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # minhash_lsh / ann_lsh_topk / ann_ivf_topk / winnow_fingerprints /
-    # value_percentiles_approx are probabilistic or sketch-valued
-    # (non-SQL-expressible) → rows-only checks by omission; each has a
-    # value-checked derandomized twin (minhash_exhaustive, ann_lsh_exhaustive,
-    # ann_ivf_exhaustive, value_percentiles) or a bounded-error pytest.
-    # simhash_neardup graduated to a full value check in round 4 (md5-derived
-    # hashes are SQL-reproducible and the banding is pigeonhole-lossless).
+    # minhash_lsh / ann_lsh_topk / ann_ivf_topk / value_percentiles_approx
+    # are probabilistic or sketch-valued (non-SQL-expressible) → rows-only
+    # checks by omission; each has a value-checked derandomized twin
+    # (minhash_exhaustive, ann_lsh_exhaustive, ann_ivf_exhaustive,
+    # value_percentiles) or a bounded-error pytest. simhash_neardup AND
+    # winnow_fingerprints graduated to full value checks in round 4 (the
+    # hashes are SQL-reproducible: md5-derived for simhash, base-257
+    # polynomial within int64 range for winnowing).
     return {
         "turn_assembly": oracles.q_turn_assembly(),
         "mention_hosts": oracles.q_mention_hosts(),
@@ -881,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_wide_hamming": oracles.q_simhash_exhaustive(16),
         "quality_stats": oracles.q_quality_stats(),
         "token_counts": oracles.q_token_counts(),
+        "winnow_fingerprints": oracles.q_winnow_fingerprints(),
         "ann_topk": oracles.q_ann_topk(5, 10),
         "ann_ivf_exhaustive": oracles.q_ann_topk(5, 10),
         "ann_lsh_exhaustive": oracles.q_ann_topk(5, 10),

@@ -289,6 +289,59 @@ def q_simhash_exhaustive(max_hamming: int = 16) -> str:
     """
 
 
+def q_winnow_fingerprints(k: int = 5, window: int = 4) -> str:
+    """Value-checked twin of textstats.winnow_fingerprint_udf (Schleimer
+    et al. winnowing): per-position polynomial k-gram hash (base 257 over
+    lowercased bytes — byte values never overflow int64 for k=5, so the
+    UDF's mod-2^64 arithmetic is exactly reproduced), sliding-window min
+    over `window` consecutive hashes (global min when fewer than `window`
+    k-grams exist), DISTINCT mins mixed by the 64-bit golden-ratio constant
+    mod 2^64 and bit_xor-folded, two's-complement to signed int64; texts
+    shorter than k fingerprint to 0.
+
+    ASCII assumption: DuckDB's ord() yields code points while the UDF hashes
+    UTF-8 BYTES — identical only for ASCII text, which the synthetic
+    documents corpus is (asserted at build time); a non-ASCII corpus would
+    need a BLOB-level byte extraction here.
+    """
+    mix = 0x9E3779B97F4A7C15
+    m64 = 1 << 64
+    powers = [257 ** (k - 1 - j) for j in range(k)]
+    gram = " + ".join(
+        f"ord(substr(t, pos+{j}, 1))::HUGEINT * {powers[j]}" for j in range(k)
+    )
+    return f"""
+      WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+      pos_ AS (
+        SELECT doc_id, t, unnest(range(1, length(t) - {k} + 2)) AS pos
+        FROM docs WHERE length(t) >= {k}),
+      kh AS (SELECT doc_id, pos, ({gram}) AS h FROM pos_),
+      stats AS (SELECT doc_id, count(*) AS n_h FROM kh GROUP BY doc_id),
+      wmin AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS mn,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wsz
+        FROM kh),
+      mins AS (
+        SELECT DISTINCT w.doc_id, w.mn FROM wmin w JOIN stats s USING (doc_id)
+        WHERE w.wsz = {window} AND s.n_h > {window}
+        UNION
+        SELECT k2.doc_id, min(k2.h) FROM kh k2 JOIN stats s USING (doc_id)
+        WHERE s.n_h <= {window} GROUP BY k2.doc_id),
+      folded AS (
+        SELECT doc_id,
+               bit_xor(CAST((mn::HUGEINT * {mix}::HUGEINT) % {m64}::HUGEINT AS UBIGINT)) AS u
+        FROM mins GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(CAST(CASE WHEN u >= (1::HUGEINT << 63)
+                                THEN u::HUGEINT - (1::HUGEINT << 64)
+                                ELSE u::HUGEINT END AS BIGINT), 0) AS winnow_fp
+      FROM docs d LEFT JOIN folded USING (doc_id)
+    """
+
+
 def q_quality_stats() -> str:
     # Twin of kgtm.textstats.quality_features + lang_id_col + fingerprint_col.
     # NOTE regexp_replace needs the 'g' flag in DuckDB (Spark replaces all).

@@ -430,3 +430,13 @@ def test_compact_ledger_detects_concurrent_append(spark, documents, tmp_path, mo
     assert cur.read_ledger(spark, store).count() == 160
     cur.compact_ledger(spark, store)
     assert cur.read_ledger(spark, store).count() == 160
+
+
+def test_corpus_is_ascii_for_winnow_oracle(spark, documents):
+    """The winnow DuckDB twin (oracles.q_winnow_fingerprints) compares
+    ord()-code-points against the UDF's UTF-8 bytes — identical iff the
+    corpus is ASCII. Assert that precondition on the test corpus so a future
+    non-ASCII regeneration fails loudly here instead of as a silent oracle
+    mismatch."""
+    n = documents.filter(F.col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert n == 0
