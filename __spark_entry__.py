@@ -219,6 +219,21 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic planted benchmark
+    (every 20th doc's 120-char prefix): each source doc must flag against
+    its own prefix with containment near 1.0; unrelated docs only when they
+    genuinely cover a benchmark item's shingles."""
+    from kgtm.dedup import contamination_pairs
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    return contamination_pairs(docs, bench, n=5, threshold=0.5)
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.textstats import winnow_fingerprint_udf
 
@@ -816,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_wide_hamming": _q_simhash_wide,
         "quality_stats": _q_quality_stats,
         "token_counts": _q_token_counts,
+        "decontamination": _q_decontamination,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -882,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_wide_hamming": oracles.q_simhash_exhaustive(16),
         "quality_stats": oracles.q_quality_stats(),
         "token_counts": oracles.q_token_counts(),
+        "decontamination": oracles.q_contamination(5, 0.5),
         "winnow_fingerprints": oracles.q_winnow_fingerprints(),
         "ann_topk": oracles.q_ann_topk(5, 10),
         "ann_ivf_exhaustive": oracles.q_ann_topk(5, 10),

@@ -751,3 +751,56 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Training-data decontamination: (doc_id, bench_id, containment) for
+    every corpus document whose word n-gram overlap COVERS a benchmark item
+    — containment = |shingles(doc) ∩ shingles(bench)| / |shingles(bench)|,
+    kept when >= threshold. The asymmetric denominator is the point: a long
+    document that embeds a short benchmark question verbatim scores 1.0
+    regardless of how much other text surrounds it (plain Jaccard would
+    dilute it toward 0), which is the standard eval-leakage test for
+    pre-training corpora.
+
+    100 TB shape: the benchmark side is SMALL by nature (eval suites are
+    10^4-10^6 items vs 10^9+ docs), so its shingle flat and sizes broadcast;
+    the corpus is shingled in one scan and never self-joins — the only
+    shuffle is the per-(doc, bench) intersection count over rows that
+    actually collide. Shingles are n-gram DISTINCT sets (flat_shingles), so
+    repeated phrases inside one doc count once.
+    """
+    d_flat = flat_shingles(docs, text_col, id_col, n)
+    b_flat = flat_shingles(benchmark, bench_text_col, bench_id_col, n).select(
+        F.col("id").alias("bench_id"), "shingle"
+    )
+    b_sizes = b_flat.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        d_flat.join(F.broadcast(b_flat), "shingle")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(b_sizes), "bench_id")
+        .withColumn("containment", F.col("n_inter") / F.col("n_b"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id").alias(id_col),
+            "bench_id",
+            F.round("containment", 6).alias("containment"),
+        )
+    )

@@ -289,6 +289,38 @@ def q_simhash_exhaustive(max_hamming: int = 16) -> str:
     """
 
 
+def q_contamination(n: int = 5, threshold: float = 0.5) -> str:
+    """Twin of kgtm.dedup.contamination_pairs over the synthetic benchmark
+    (every 20th document's first 120 characters): containment =
+    |shingles(doc) ∩ shingles(bench)| / |shingles(bench)| over word n-grams,
+    kept when >= threshold."""
+    m = n - 1
+    sh = (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(len(w)-{m}, 0)), "
+        f"i -> array_to_string(w[i:i+{m}], ' ')))"
+    )
+    return rf"""
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents),
+      b AS (
+        SELECT doc_id AS bench_id,
+               string_split_regex(trim(lower(substr(text, 1, 120))), '\s+') AS w
+        FROM documents WHERE doc_id % 20 = 0),
+      dsh AS (SELECT doc_id, unnest({sh}) AS shingle FROM d),
+      bl AS (SELECT bench_id, {sh} AS s FROM b),
+      bsh AS (SELECT bench_id, len(s) AS n_b, unnest(s) AS shingle FROM bl),
+      inter AS (
+        SELECT dsh.doc_id, bsh.bench_id, any_value(bsh.n_b) AS n_b,
+               count(*) AS ni
+        FROM dsh JOIN bsh USING (shingle)
+        GROUP BY dsh.doc_id, bsh.bench_id)
+      SELECT doc_id, bench_id, round(ni * 1.0 / n_b, 6) AS containment
+      FROM inter WHERE ni * 1.0 / n_b >= {threshold}
+    """
+
+
 def q_winnow_fingerprints(k: int = 5, window: int = 4) -> str:
     """Value-checked twin of textstats.winnow_fingerprint_udf (Schleimer
     et al. winnowing): per-position polynomial k-gram hash (base 257 over

@@ -298,3 +298,35 @@ def test_fuzzy_linking(spark):
     # deterministic across runs
     again = {r.surface: r.matched_entity for r in link_fuzzy(mentions, labels, threshold=0.3).collect()}
     assert again == {s: r.matched_entity for s, r in out.items()}
+
+
+def test_contamination_pairs_flags_embedded_benchmark(spark):
+    """A training doc that embeds a benchmark item verbatim (with unrelated
+    text around it) must flag at containment 1.0 — the asymmetric
+    denominator is the point; plain Jaccard would dilute it. Clean docs and
+    partial overlap below threshold stay unflagged."""
+    from kgtm.dedup import contamination_pairs
+
+    bench_q = (
+        "what is the capital city of the country that borders both the "
+        "mountains and the northern sea in europe"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "some long preamble about training data pipelines and then "
+                + bench_q
+                + " followed by a long discussion of the answer and more text"),
+            (1, "completely unrelated document about spark partitioning and "
+                "shuffle behavior during large aggregations in a cluster"),
+            (2, "what is the capital city of the country that has no other "
+                "overlap with the benchmark item beyond this half prefix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_q)], "bench_id long, text string")
+    out = {
+        (r.doc_id, r.bench_id): r.containment
+        for r in contamination_pairs(docs, bench, n=5, threshold=0.5).collect()
+    }
+    assert out[(0, 100)] == 1.0
+    assert (1, 100) not in out and (2, 100) not in out
