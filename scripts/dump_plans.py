@@ -92,8 +92,57 @@ def main() -> None:
             "(semi/anti) probes of the checkpointed affected-id set — "
             "NEITHER side of the linkage table shuffles.",
         ),
+        (
+            "decontamination",
+            "The benchmark shingle flat and its per-item sizes are EXPLICIT "
+            "broadcasts (eval suites are small by nature); the corpus is "
+            "shingled in one scan and never self-joins — the only wide "
+            "exchange is the per-(doc, bench) intersection count over rows "
+            "that actually collide.",
+        ),
+        (
+            "simhash_neardup",
+            "Round-4 shape: full-64-bit md5-derived hashes make every "
+            "Hamming chunk informative (the old 31-bit hasher left chunks "
+            "over bits 31..63 constant-zero — one universal bucket, silent "
+            "all-pairs). Candidates come from the chunk equi-join; the "
+            "verify is codegen bit_count(xor).",
+        ),
     ]:
         sections.append((name, note, formatted(qs[name](spark, SF))))
+
+    # state-backed incremental curation: the decisive pair stage, built from
+    # materialized corpus state exactly as append_curated_batch consumes it
+    from kgtm.curation import _state_frames, curate_documents, incremental_curate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old_docs = docs.filter("doc_id < 450")
+    new_docs = docs.filter("doc_id >= 450")
+    led = curate_documents(old_docs).localCheckpoint(eager=True)
+    dg, fl, sdf = _state_frames(old_docs, led, "text", "doc_id")
+    inc = incremental_curate(
+        None,
+        led,
+        new_docs,
+        corpus_digests=dg,
+        corpus_flat=fl,
+        corpus_shingle_df=sdf,
+        skip_guards=True,
+    )
+    sections.append(
+        (
+            "incremental_curate (state-backed, the O(batch) append path)",
+            "What to check: NO groupBy over the corpus shingle flat — the "
+            "hot-shingle set comes from the materialized per-shingle df "
+            "contributions unioned with the batch's own counts, and both "
+            "hot anti-joins are explicit broadcasts; the probe/rest split "
+            "is known by construction (probe_pairs_from_split), so the "
+            "corpus flat is touched once by the pair join and once by the "
+            "participant-size pass; only the BATCH's text is ever "
+            "shingled.",
+            formatted(inc),
+        )
+    )
 
     from kgtm.extract import extract_mentions
     from kgtm.link import broadcast_ladder_link
