@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "quality_stats",
     "token_counts",
+    "decontamination",
     "winnow_fingerprints",
     "ann_topk",
     "ann_lsh_topk",

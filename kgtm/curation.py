@@ -413,7 +413,7 @@ STATE_TABLES = ("ledger_digests", "ledger_shingles", "ledger_shingle_df")
 
 def _state_frames(
     docs: DataFrame, ledger_rows: DataFrame, text_col: str, id_col: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The corpus-side state a ledger commit contributes, derived from the
     committed rows themselves:
 

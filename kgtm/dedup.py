@@ -136,7 +136,11 @@ def ngram_jaccard_pairs(
 
 
 def flat_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Flat (id, shingle-hash) rows — the shared shingle derivation of every
     exact-Jaccard operator, and the schema of the materialized
@@ -152,17 +156,19 @@ def flat_shingles(
     re-inlining the split into every element access (measured 30x slower).
     """
     sh = with_shingles(df, text_col, id_col, n)
-    return (
+    flat = (
         sh.select("id", F.explode_outer("sh").alias("sh_str"))
         .filter(F.col("sh_str").isNotNull())
         .select("id", F.xxhash64("sh_str").alias("shingle"))
-        # (id, shingle-hash) is consumed up to four times (hot-shingle DF,
-        # per-doc sizes, and BOTH sides of the self-join); without a
-        # checkpoint each consumer re-runs the split→grams→explode→hash
-        # pipeline over the full text corpus. Lazy: materializes on first
-        # use, then every consumer scans 16 bytes/row instead of re-deriving.
-        .localCheckpoint(eager=False)
     )
+    # (id, shingle-hash) is consumed up to four times by the pair operators
+    # (hot-shingle DF, per-doc sizes, BOTH sides of the self-join); without a
+    # checkpoint each consumer re-runs the split→grams→explode→hash pipeline
+    # over the full text corpus. Lazy: materializes on first use, then every
+    # consumer scans 16 bytes/row instead of re-deriving. Single-consumer
+    # callers (contamination_pairs' corpus side) pass checkpoint=False —
+    # materializing the whole corpus flat with zero reuse is pure cost.
+    return flat.localCheckpoint(eager=False) if checkpoint else flat
 
 
 def _apply_cap(flat, max_shingle_df, log_dropped=False):
@@ -784,7 +790,10 @@ def contamination_pairs(
     actually collide. Shingles are n-gram DISTINCT sets (flat_shingles), so
     repeated phrases inside one doc count once.
     """
-    d_flat = flat_shingles(docs, text_col, id_col, n)
+    # corpus side: ONE consumer (the intersection join) — no checkpoint, the
+    # scan stays streaming; benchmark side is tiny and consumed twice (join
+    # + sizes), so it keeps the default checkpoint
+    d_flat = flat_shingles(docs, text_col, id_col, n, checkpoint=False)
     b_flat = flat_shingles(benchmark, bench_text_col, bench_id_col, n).select(
         F.col("id").alias("bench_id"), "shingle"
     )

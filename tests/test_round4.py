@@ -432,11 +432,22 @@ def test_compact_ledger_detects_concurrent_append(spark, documents, tmp_path, mo
     assert cur.read_ledger(spark, store).count() == 160
 
 
-def test_corpus_is_ascii_for_winnow_oracle(spark, documents):
+def test_corpus_is_ascii_for_winnow_oracle(spark):
     """The winnow DuckDB twin (oracles.q_winnow_fingerprints) compares
     ord()-code-points against the UDF's UTF-8 bytes — identical iff the
-    corpus is ASCII. Assert that precondition on the test corpus so a future
+    corpus is ASCII. Assert that precondition at EVERY scale factor the
+    gate/bench touch (the driver gate runs at sf0.01, bench at sf0.1), so a
     non-ASCII regeneration fails loudly here instead of as a silent oracle
     mismatch."""
-    n = documents.filter(F.col("text").rlike("[^\\x00-\\x7F]")).count()
-    assert n == 0
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n = (
+            spark.read.parquet(path)
+            .filter(F.col("text").rlike("[^\\x00-\\x7F]"))
+            .count()
+        )
+        assert n == 0, f"{sf} contains non-ASCII documents"
