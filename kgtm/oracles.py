@@ -1025,6 +1025,27 @@ def q_incremental_relink() -> str:
     """
 
 
+def q_index_diff() -> str:
+    """DERIVED twin of graph.index_diff (round-4 verdict: the hard-coded
+    two-row literal was the file's weakest oracle): DuckDB diffs the SAME
+    two VALUES dictionaries the engine diffs — ontology_index_rows() vs
+    mutated_index_rows() — with EXCEPT ALL on (iri, host, path), mirroring
+    index_diff's exceptAll semantics instead of asserting its answer."""
+    from kgtm.transcripts import mutated_index_rows
+
+    old_vals = duckdb_index_values()
+    new_vals = duckdb_index_values(mutated_index_rows())
+    return f"""
+      WITH old_idx AS (SELECT ontology_iri, host, path FROM {old_vals}),
+           new_idx AS (SELECT ontology_iri, host, path FROM {new_vals})
+      SELECT 'added' AS change, ontology_iri
+      FROM (SELECT * FROM new_idx EXCEPT ALL SELECT * FROM old_idx)
+      UNION ALL
+      SELECT 'removed' AS change, ontology_iri
+      FROM (SELECT * FROM old_idx EXCEPT ALL SELECT * FROM new_idx)
+    """
+
+
 def q_gazetteer_mentions() -> str:
     """Twin of extract.gazetteer_mentions over the role labels: whole-word
     union-regex hits per surface (same longest-first alternation as the
