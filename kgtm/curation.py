@@ -387,6 +387,7 @@ def _commit_ledger_rows(
     kind: str,
     curation_params: dict | None,
     extra: dict | None = None,
+    coordinator=None,
 ) -> dict:
     from kgtm.materialize import write_table
 
@@ -401,6 +402,7 @@ def _commit_ledger_rows(
         table="ledger",
         partition_by=("kept_part",),
         extra_manifest=manifest,
+        coordinator=coordinator,
     )
 
 
@@ -599,6 +601,8 @@ def append_curated_batch(
     jaccard_threshold: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    coordinator=None,
+    max_deltas: int | None = 64,
 ) -> dict:
     """Incrementally curate a new batch against the store's LATEST ledger
     version and commit the batch's decisions as an O(batch) DELTA commit.
@@ -621,16 +625,34 @@ def append_curated_batch(
     incremental parity contract needs unchanged settings); a threshold that
     is neither recorded nor passed raises rather than silently guessing.
 
-    Concurrency: two concurrent appends from the same base would each write
-    a delta claiming the same base — the later one would double-apply ids or
-    conflict. A pre-commit check rejects the append when the base is no
-    longer the newest ledger commit; the residual check→commit window means
-    corpus ingest should still be single-writer per store (unlike the
-    append-mode triple table, which takes concurrent writers safely).
+    Concurrency (round-5 CAS): two concurrent appends from the same base
+    would each write a delta claiming the same base. Before publishing, the
+    append CLAIMS the marker ``ledger-succ-{base_commit_id}`` through the
+    commit ``coordinator``'s rename-if-absent primitive — the marker path is
+    named by the base alone, so the two writers collide on the SAME path and
+    exactly one proceeds; the loser gets a recompute error. Defense in
+    depth: even a delta that slips past the claim (coordinator whose rename
+    overwrites, or a plain snapshot landing in the claim→commit window) is
+    structurally orphaned by chain-linked resolution
+    (_resolve_ledger_commits matches each delta's base_seq to the chain
+    head), so readers never see an inconsistent fold. A claim whose winner
+    crashed before committing blocks later appends from that base — see
+    release_stale_ledger_claims.
+
+    ``max_deltas`` (default 64): when the resolved chain after this append
+    carries at least this many delta commits, compact_ledger folds it back
+    into one snapshot in the same call — bounding read fan-in (read_ledger
+    unions snapshot+deltas; a year of daily appends must not mean 365 commit
+    dirs in every read plan). Pass None to manage compaction manually.
     """
+    from kgtm.materialize import claim_marker
+
     if new_docs is None:
         raise ValueError("append_curated_batch requires new_docs")
-    base = _latest_ledger_commit(spark, out_dir)
+    # base = the RESOLVED chain head (never a raw newest-by-seq commit: an
+    # orphaned delta must not become anyone's base)
+    resolved = _resolve_ledger_commits(spark, out_dir)
+    base = resolved[-1]
     recorded = base.get("curation_params", {})
 
     def _resolve(name: str, passed: float | None) -> float:
@@ -647,9 +669,8 @@ def append_curated_batch(
 
     mq = _resolve("min_quality", min_quality)
     jt = _resolve("jaccard_threshold", jaccard_threshold)
-    # rows AS OF the base commit — params and rows from the SAME snapshot
-    # even if a concurrent writer lands in between
-    resolved = _resolve_ledger_commits(spark, out_dir, as_of=base["seq"])
+    # `resolved` was listed with base as its head, so params and rows come
+    # from the SAME snapshot even if a concurrent writer lands from here on
     old_ledger = _read_resolved_ledger(spark, out_dir, resolved)
 
     state = _read_state(spark, out_dir, resolved)
@@ -728,14 +749,28 @@ def append_curated_batch(
         )
 
     new_rows = new_rows.localCheckpoint(eager=True)
-    # optimistic-concurrency check as late as possible: refuse to publish a
-    # delta computed from a stale base
-    current = _latest_ledger_commit(spark, out_dir)
+    # optimistic re-check as late as possible (cheap manifest listing), then
+    # the CAS claim: exactly one successor per base can pass it
+    current = _resolve_ledger_commits(spark, out_dir)[-1]
     if current["commit_id"] != base["commit_id"]:
         raise RuntimeError(
             f"concurrent ledger commit {current['commit_id']} landed after "
             f"base {base['commit_id']} — recompute the append from the new "
             "base (publishing now would conflict with the other batch)"
+        )
+    if not claim_marker(
+        spark,
+        out_dir,
+        f"ledger-succ-{base['commit_id']}",
+        {"op": "append", "base_seq": base["seq"]},
+        coordinator=coordinator,
+    ):
+        raise RuntimeError(
+            f"concurrent ledger commit: another writer holds the successor "
+            f"claim for base {base['commit_id']} — its delta has landed or is "
+            "about to (recompute this append from the new chain head), or it "
+            "crashed mid-append (run release_stale_ledger_claims after "
+            "verifying no writer is active)"
         )
     c = _commit_ledger_rows(
         new_rows,
@@ -743,6 +778,7 @@ def append_curated_batch(
         kind="delta",
         curation_params={"min_quality": mq, "jaccard_threshold": jt},
         extra={"base_seq": base["seq"], "base_commit_id": base["commit_id"]},
+        coordinator=coordinator,
     )
     if state is not None:
         # keep the materialized state current: the delta's own O(batch)
@@ -752,10 +788,14 @@ def append_curated_batch(
         # mode instead of reading half-state.)
         digests, flat, sh_df = _state_frames(new_docs, new_rows, text_col, id_col)
         _write_state(digests, flat, sh_df, out_dir, c["commit_id"])
+    if max_deltas is not None:
+        chain = _resolve_ledger_commits(spark, out_dir)
+        if len(chain) - 1 >= max_deltas and chain[-1]["commit_id"] == c["commit_id"]:
+            compact_ledger(spark, out_dir, coordinator=coordinator)
     return c
 
 
-def compact_ledger(spark, out_dir: str) -> dict:
+def compact_ledger(spark, out_dir: str, coordinator=None) -> dict:
     """Fold the newest snapshot + its delta chain into ONE snapshot commit
     (and likewise fold the state tables), marking the inputs ``replaces``.
 
@@ -767,15 +807,18 @@ def compact_ledger(spark, out_dir: str) -> dict:
     commit, so threshold resolution for future appends is unchanged (the
     generic compact_table would have dropped them — and double-read every
     doc_id; it refuses ledger tables for exactly that reason).
+    append_curated_batch(max_deltas=N) invokes this automatically once the
+    chain carries N deltas, bounding read fan-in.
 
-    Concurrency: same contract as append_curated_batch — a delta landing
-    between resolution and the compaction commit would be permanently hidden
-    (its seq falls below the compacted snapshot's, and `replaces` does not
-    list it), so the fold re-checks the newest ledger commit as late as
-    possible and refuses when the chain moved. The residual check→commit
-    window keeps ledger maintenance single-writer per store, like appends.
+    Concurrency: the fold competes for the SAME successor claim as an
+    append from the chain head (``ledger-succ-{head_commit_id}``), so a
+    delta racing the compaction loses the CAS instead of being permanently
+    hidden (its seq would fall below the compacted snapshot's and
+    ``replaces`` would not list it). A concurrent full RE-CURATION snapshot
+    is outside the claim protocol (snapshots depend on no base) — schedule
+    re-curations and compactions from one maintenance writer.
     """
-    from kgtm.materialize import list_commits
+    from kgtm.materialize import claim_marker, list_commits
 
     resolved = _resolve_ledger_commits(spark, out_dir)
     if len(resolved) < 2:
@@ -786,14 +829,27 @@ def compact_ledger(spark, out_dir: str) -> dict:
     full = _read_resolved_ledger(spark, out_dir, resolved).localCheckpoint(eager=True)
     params = resolved[-1].get("curation_params", {})
     state = _read_state(spark, out_dir, resolved)
-    current = _latest_ledger_commit(spark, out_dir)
-    if current["commit_id"] != resolved[-1]["commit_id"]:
+    head = _resolve_ledger_commits(spark, out_dir)[-1]
+    if head["commit_id"] != resolved[-1]["commit_id"]:
         raise RuntimeError(
-            f"concurrent ledger commit {current['commit_id']} landed after "
+            f"concurrent ledger commit {head['commit_id']} landed after "
             f"the resolved chain head {resolved[-1]['commit_id']} — re-run "
             "the compaction (folding now would hide the newer commit: its "
             "seq would fall below the compacted snapshot's and it is not in "
             "the replaces list)"
+        )
+    if not claim_marker(
+        spark,
+        out_dir,
+        f"ledger-succ-{resolved[-1]['commit_id']}",
+        {"op": "compact", "base_seq": resolved[-1]["seq"]},
+        coordinator=coordinator,
+    ):
+        raise RuntimeError(
+            f"concurrent ledger commit: another writer holds the successor "
+            f"claim for chain head {resolved[-1]['commit_id']} (an in-flight "
+            "append) — re-run the compaction once it lands, or run "
+            "release_stale_ledger_claims if it crashed"
         )
     c = _commit_ledger_rows(
         full,
@@ -801,6 +857,7 @@ def compact_ledger(spark, out_dir: str) -> dict:
         kind="snapshot",
         curation_params=params,
         extra={"replaces": [rc["commit_id"] for rc in resolved]},
+        coordinator=coordinator,
     )
     if state is not None:
         digests, flat, sh_df = state
@@ -830,14 +887,66 @@ def compact_ledger(spark, out_dir: str) -> dict:
     return c
 
 
+def release_stale_ledger_claims(
+    spark, out_dir: str, min_age_ms: int = 3600 * 1000
+) -> list[str]:
+    """Reclaim successor claims whose winner CRASHED before committing.
+
+    A fulfilled claim (its delta landed with ``base_commit_id`` matching, or
+    a compaction landed with the base in ``replaces``) blocks nobody — later
+    writers claim a different name — and is left alone as the audit trail.
+    An UNFULFILLED claim older than ``min_age_ms`` is a writer that died
+    between claiming and committing; it blocks every future append from
+    that base forever, so it is deleted here. The age gate is the same
+    in-flight-writer grace contract as vacuum's: run with min_age_ms longer
+    than any real append could take. Returns the released claim names.
+    """
+    from kgtm.materialize import (
+        delete_claim_marker,
+        list_claim_markers,
+        list_commits,
+    )
+
+    ledgers = [
+        c for c in list_commits(out_dir, spark) if c.get("table") == "ledger"
+    ]
+    fulfilled = {c.get("base_commit_id") for c in ledgers} | {
+        cid for c in ledgers for cid in c.get("replaces", [])
+    }
+    now_ms = int(
+        spark.sparkContext._jvm.java.lang.System.currentTimeMillis()
+    )
+    released = []
+    for name, payload in list_claim_markers(out_dir, spark).items():
+        if not name.startswith("ledger-succ-"):
+            continue
+        base_cid = name[len("ledger-succ-") :]
+        age = now_ms - payload.get("claimed_at_ms", 0)
+        if base_cid not in fulfilled and age >= min_age_ms:
+            delete_claim_marker(out_dir, name, spark)
+            released.append(name)
+    return released
+
+
 def _resolve_ledger_commits(
     spark, out_dir: str, as_of: int | None = None
 ) -> list[dict]:
     """The ledger commits visible at ``as_of``: [newest live snapshot] + its
-    live delta commits in seq order. Compactions hide what they replaced
-    (but only when the compaction itself is in view, so older as_of reads
-    still resolve the original chain). Raises like a missing-table read when
-    the store has no ledger."""
+    CHAIN-LINKED live delta commits in seq order. Compactions hide what they
+    replaced (but only when the compaction itself is in view, so older as_of
+    reads still resolve the original chain). Raises like a missing-table
+    read when the store has no ledger.
+
+    Chain linking (round-5 hardening): a delta is included only when its
+    recorded ``base_seq`` equals the seq of the current chain head (the
+    snapshot, or the previously linked delta). A delta whose base was
+    superseded before it landed — e.g. a full re-curation snapshot slipping
+    in between an append's pre-commit check and its manifest rename — is
+    therefore STRUCTURALLY invisible rather than silently folded onto the
+    wrong base: readers stay consistent even in the window the successor
+    claim (append_curated_batch's CAS marker) cannot cover. An orphaned
+    delta's batch must be re-appended from the new base.
+    """
     from kgtm.materialize import list_commits
 
     commits = [
@@ -851,38 +960,44 @@ def _resolve_ledger_commits(
     if not snaps:
         raise FileNotFoundError(f"no committed ledger under {out_dir}")
     newest_snap = snaps[-1]  # list_commits is seq-ordered
-    deltas = [
-        c
-        for c in live
-        if c.get("ledger_kind") == "delta" and c["seq"] > newest_snap["seq"]
-    ]
-    return [newest_snap] + deltas
+    chain = [newest_snap]
+    head_seq = newest_snap["seq"]
+    for c in live:
+        if c.get("ledger_kind") == "delta" and c["seq"] > newest_snap["seq"]:
+            if c.get("base_seq") == head_seq:
+                chain.append(c)
+                head_seq = c["seq"]
+            # else: orphaned delta (stale base) — skipped by design
+    return chain
 
 
 def _read_resolved_ledger(spark, out_dir: str, resolved: list[dict]) -> DataFrame:
-    from kgtm.materialize import read_table
+    from kgtm.materialize import _child, _fs, read_table
 
+    # Verify every resolved commit's data dir actually exists BEFORE reading:
+    # read_table silently skips missing commit dirs (right for append tables,
+    # where a vanished commit just loses its rows), but a resolved ledger
+    # chain is a DECISION SET — an out-of-band-deleted delta dir would
+    # silently drop that batch's rows from read_ledger (silent corpus
+    # shrinkage). Raise like _read_state's FileNotFoundError handling does.
+    fs, jvm = _fs(spark, out_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    missing = [
+        c["commit_id"]
+        for c in resolved
+        if not fs.exists(hpath(_child(out_dir, "ledger", f"commit={c['commit_id']}")))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"resolved ledger commit(s) {missing} have no data directory under "
+            f"{out_dir}/ledger — the store was modified out-of-band (a delta's "
+            "data deleted without expiring its manifest); refusing to return a "
+            "silently shrunken ledger"
+        )
     df = read_table(spark, out_dir, table="ledger", as_of=resolved[-1]["seq"])
     return df.filter(
         F.col("commit").isin([c["commit_id"] for c in resolved])
     ).drop("kept_part", "commit")
-
-
-def _latest_ledger_commit(spark, out_dir: str, as_of: int | None = None) -> dict:
-    """Newest ledger commit — snapshot OR delta (seq <= as_of when given);
-    delta commits record their resolved curation_params, so threshold
-    resolution works from any base. Raises like a missing-table read when
-    the store has none."""
-    from kgtm.materialize import list_commits
-
-    ledgers = [
-        c
-        for c in list_commits(out_dir, spark)
-        if c.get("table") == "ledger" and (as_of is None or c["seq"] <= as_of)
-    ]
-    if not ledgers:
-        raise FileNotFoundError(f"no committed ledger under {out_dir}")
-    return ledgers[-1]  # list_commits is seq-ordered
 
 
 def read_ledger(spark, out_dir: str, as_of: int | None = None) -> DataFrame:

@@ -243,6 +243,77 @@ def _commit_manifest(
         seq += 1  # lost the race for this seq — claim the next one
 
 
+def claim_marker(
+    spark: SparkSession,
+    out_dir: str,
+    name: str,
+    payload: dict | None = None,
+    coordinator=None,
+) -> bool:
+    """Atomically create the claim marker ``_commits/.claim-{name}`` through
+    the coordinator's rename-if-absent primitive; True iff THIS caller
+    created it.
+
+    The CAS building block for operations that must have at most ONE
+    successor per precondition token (e.g. one ledger delta per base commit
+    — kgtm.curation.append_curated_batch names the marker by the base
+    commit_id, so two appends from the same base collide on the SAME marker
+    path and exactly one proceeds). Dot-prefixed, so list_commits never sees
+    it. Markers are never deleted on success — a fulfilled claim can block
+    nobody (the next claim uses a new token); only a CRASHED winner's marker
+    needs reclaiming (age-gated, see the caller's release helper).
+    """
+    commits_dir = _child(out_dir, "_commits")
+    fs, jvm = _fs(spark, commits_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(hpath(commits_dir))
+    coordinator = coordinator or DEFAULT_COORDINATOR
+    tmp = _child(commits_dir, f".claimtmp-{uuid.uuid4().hex[:12]}.json")
+    body = dict(payload or {})
+    body["claimed_at_ms"] = int(
+        jvm.java.lang.System.currentTimeMillis()
+    )
+    _write_bytes(spark, tmp, json.dumps(body).encode())
+    dst = _child(commits_dir, f".claim-{name}.json")
+    if coordinator.claim(fs, jvm, tmp, dst):
+        return True
+    fs.delete(hpath(tmp), False)
+    return False
+
+
+def list_claim_markers(out_dir: str, spark: SparkSession | None = None) -> dict[str, dict]:
+    """{name: payload} for every claim marker in the store (see claim_marker)."""
+    from py4j.protocol import Py4JError
+
+    spark = _active_spark(spark)
+    commits_dir = _child(out_dir, "_commits")
+    fs, jvm = _fs(spark, commits_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hpath(commits_dir)):
+        return {}
+    out: dict[str, dict] = {}
+    for status in fs.listStatus(hpath(commits_dir)):
+        fname = status.getPath().getName()
+        if not (fname.startswith(".claim-") and fname.endswith(".json")):
+            continue
+        name = fname[len(".claim-") : -len(".json")]
+        try:
+            out[name] = json.loads(_read_bytes(spark, _child(commits_dir, fname)))
+        except (ValueError, OSError, Py4JError):
+            out[name] = {}
+    return out
+
+
+def delete_claim_marker(out_dir: str, name: str, spark: SparkSession | None = None) -> None:
+    spark = _active_spark(spark)
+    commits_dir = _child(out_dir, "_commits")
+    fs, jvm = _fs(spark, commits_dir)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(_child(commits_dir, f".claim-{name}.json")),
+        False,
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -481,6 +552,36 @@ def expire_commits(
                 "kgtm.curation.compact_ledger first (or raise keep_last)"
             )
     victims = [c for cs in by_table.values() for c in cs[:-keep_last]]
+    # State-table dependency guard: a curation state commit (ledger_kind=
+    # 'state', tagged for_ledger_commit=X) that is NOT itself replaced by a
+    # compaction is still feeding _read_state whenever X is a live ledger
+    # commit. Expiring it (e.g. after upgrade_to_state added extra state
+    # commits, pushing older ones past keep_last) would silently demote the
+    # store to derive mode — the next old_docs-free append fails. Refuse,
+    # mirroring the delta-stranding guard above.
+    surviving_ledger = by_table.get("ledger", [])[-keep_last:]
+    replaced_any = {cid for c in commits for cid in c.get("replaces", [])}
+    live_ledger_ids = {
+        c["commit_id"]
+        for c in surviving_ledger
+        if c["commit_id"] not in replaced_any
+    }
+    stranded_state = [
+        c
+        for c in victims
+        if c.get("ledger_kind") == "state"
+        and c["commit_id"] not in replaced_any
+        and c.get("for_ledger_commit") in live_ledger_ids
+    ]
+    if stranded_state:
+        tables = sorted({c.get("table") for c in stranded_state})
+        raise ValueError(
+            f"expiring down to keep_last={keep_last} would delete live state "
+            f"commits {sorted(c['commit_id'] for c in stranded_state)} from "
+            f"{tables} while the ledger commits they back are still live — "
+            "the store would silently fall back to derive mode; run "
+            "kgtm.curation.compact_ledger first (or raise keep_last)"
+        )
     fs, jvm = _fs(spark, out_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     for c in victims:

@@ -374,6 +374,57 @@ def q_winnow_fingerprints(k: int = 5, window: int = 4) -> str:
     """
 
 
+def q_winnow_positions(k: int = 5, window: int = 4) -> str:
+    """Value-checked twin of textstats.winnow_positions (POSITIONAL robust
+    winnowing, Schleimer et al. §4): per-window rightmost minimum pick over
+    the same base-257 polynomial k-gram hashes as q_winnow_fingerprints,
+    deduped across windows; texts with <= window k-grams fall back to the
+    rightmost global argmin (one pick). Output (doc_id, pos, fp) with pos a
+    0-BASED k-gram byte offset (the SQL kh positions are 1-based substr
+    offsets, hence the -1) and fp the raw hash — for k=5 the polynomial
+    maxes out near 255*257^4 << 2^63, so the UDF's uint64 arithmetic never
+    wraps and a plain BIGINT cast reproduces it exactly. Same ASCII
+    assumption as q_winnow_fingerprints (asserted at corpus build).
+    """
+    powers = [257 ** (k - 1 - j) for j in range(k)]
+    gram = " + ".join(
+        f"ord(substr(t, pos+{j}, 1))::HUGEINT * {powers[j]}" for j in range(k)
+    )
+    return f"""
+      WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+      pos_ AS (
+        SELECT doc_id, t, unnest(range(1, length(t) - {k} + 2)) AS pos
+        FROM docs WHERE length(t) >= {k}),
+      kh AS (SELECT doc_id, pos, ({gram}) AS h FROM pos_),
+      stats AS (SELECT doc_id, count(*) AS n_h FROM kh GROUP BY doc_id),
+      wstart AS (
+        SELECT doc_id, pos AS start,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS mn,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wsz
+        FROM kh),
+      sel AS (
+        SELECT w.doc_id, max(k2.pos) AS sel_pos, w.mn AS h
+        FROM wstart w
+        JOIN kh k2 ON k2.doc_id = w.doc_id
+                  AND k2.pos BETWEEN w.start AND w.start + {window - 1}
+                  AND k2.h = w.mn
+        JOIN stats s ON s.doc_id = w.doc_id
+        WHERE w.wsz = {window} AND s.n_h > {window}
+        GROUP BY w.doc_id, w.start, w.mn
+        UNION
+        SELECT k2.doc_id, max(k2.pos), min(k2.h)
+        FROM kh k2 JOIN stats s USING (doc_id)
+        WHERE s.n_h <= {window}
+          AND k2.h = (SELECT min(h) FROM kh m WHERE m.doc_id = k2.doc_id)
+        GROUP BY k2.doc_id)
+      SELECT DISTINCT doc_id, CAST(sel_pos - 1 AS INT) AS pos,
+             CAST(h AS BIGINT) AS fp
+      FROM sel
+    """
+
+
 def q_quality_stats() -> str:
     # Twin of kgtm.textstats.quality_features + lang_id_col + fingerprint_col.
     # NOTE regexp_replace needs the 'g' flag in DuckDB (Spark replaces all).

@@ -123,32 +123,44 @@ def fingerprint_col(text: str | Column = "text", length: int = 16) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _winnow_powers(k: int) -> np.ndarray:
+    """base^{k-1}, ..., base^1, base^0 (mod 2^64) for the 257-polynomial."""
+    base = np.uint64(257)
+    powers = np.ones(k, dtype=np.uint64)
+    for i in range(k - 2, -1, -1):
+        powers[i] = powers[i + 1] * base
+    return powers
+
+
+def _kgram_hashes(s: str, k: int, powers: np.ndarray) -> np.ndarray | None:
+    """All k-gram polynomial hashes of ``s`` at once (None when too short):
+    sliding_window_view(bytes, k) · base_powers; uint64 wraparound IS the
+    mod-2^64 hash — identical to the rolling recurrence acc = acc*base+b[i].
+    """
+    if not s or len(s) < k:
+        return None
+    b = np.frombuffer(s.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        return None
+    w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    return (w * powers).sum(axis=1, dtype=np.uint64)
+
+
 def winnow_fingerprint_series(
     texts: pd.Series, k: int = 5, window: int = 4
 ) -> pd.Series:
     """Pure UDF body: winnowing (Schleimer et al.) — min rolling k-gram hash
     per window, xor-folded to one int64 document fingerprint.
 
-    Fully vectorized: ALL k-gram polynomial hashes are computed in one shot as
-    sliding_window_view(bytes, k) · base_powers (uint64 wraparound IS the
-    mod-2^64 hash — identical to the rolling recurrence acc = acc*base + b[i]),
-    then a windowed min + xor-fold. No per-character Python loop.
+    Fully vectorized (see _kgram_hashes), then a windowed min + xor-fold.
+    No per-character Python loop.
     """
-    base = np.uint64(257)
-    # base^{k-1}, ..., base^1, base^0 (mod 2^64)
-    powers = np.ones(k, dtype=np.uint64)
-    for i in range(k - 2, -1, -1):
-        powers[i] = powers[i + 1] * base
+    powers = _winnow_powers(k)
 
     def fp(s: str) -> int:
-        if not s or len(s) < k:
+        h = _kgram_hashes(s, k, powers)
+        if h is None:
             return 0
-        b = np.frombuffer(s.lower().encode("utf-8", "ignore"), dtype=np.uint8)
-        if len(b) < k:
-            return 0
-        # n×k byte windows · powers → all k-gram hashes at once
-        w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        h = (w * powers).sum(axis=1, dtype=np.uint64)
         if len(h) <= window:
             mins = np.array([h.min()], dtype=np.uint64)
         else:
@@ -164,6 +176,86 @@ def winnow_fingerprint_series(
 winnow_fingerprint_udf = F.pandas_udf(
     lambda texts: winnow_fingerprint_series(texts), LongType()
 )
+
+
+def winnow_position_pairs(
+    s: str, k: int, window: int, powers: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure body: POSITIONAL winnowing selection for one text — the standard
+    (Schleimer et al. §4 'robust winnowing') per-window pick: in every
+    window of ``window`` consecutive k-gram hashes select the RIGHTMOST
+    position attaining the window minimum, dedupe picks across windows.
+    Returns (positions, hashes) as arrays (0-based byte offsets; empty when
+    the text is shorter than k). Texts with <= window k-grams fall back to
+    the rightmost global argmin — one pick, mirroring the doc-fingerprint
+    body's whole-doc-min branch so both operators agree on short texts.
+
+    Vectorized: window minima via sliding_window_view; the rightmost-argmin
+    per window via argmax over the REVERSED window equality mask (argmax
+    returns the first True, which in reversed order is the rightmost).
+    """
+    h = _kgram_hashes(s, k, powers)
+    if h is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    if len(h) <= window:
+        ridx = len(h) - 1 - int(np.argmax(h[::-1] == h.min()))
+        return np.array([ridx], dtype=np.int64), h[ridx : ridx + 1]
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    mins = sw.min(axis=1)
+    rev_eq = sw[:, ::-1] == mins[:, None]
+    ridx = window - 1 - np.argmax(rev_eq, axis=1)
+    pos = np.unique(np.arange(len(mins), dtype=np.int64) + ridx)
+    return pos, h[pos]
+
+
+def winnow_positions(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+):
+    """(id, pos, fp) — the exploded POSITIONAL winnowing fingerprint table.
+
+    The xor-folded scalar (winnow_fingerprint_udf) detects whole-document
+    similarity; this is the standard winnowing USE: a per-document set of
+    (k-gram offset, hash) picks, joinable on fp to LOCALIZE overlapping
+    passages between documents (plagiarism/citation span detection). fp is
+    the raw k-gram polynomial hash (two's-complement int64), so a DuckDB
+    twin reproduces rows exactly (kgtm.oracles.q_winnow_positions).
+
+    mapInPandas (Arrow batches in, variable fan-out rows per doc out) — the
+    natural shape for an exploding extractor; downstream overlap joins key
+    on the 8-byte fp, never on text. 100 TB: selection density is ~2/(window
+    +1) of k-gram count, so the output is a bounded multiple of the corpus;
+    pair-join consumers should reuse the hot-shingle df cap
+    (kgtm.dedup._apply_cap) before self-joining on fp.
+    """
+    powers = _winnow_powers(k)
+    schema = f"{id_col} long, pos int, fp long"
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            poss: list[np.ndarray] = []
+            fps: list[np.ndarray] = []
+            with np.errstate(over="ignore"):
+                for i, t in zip(pdf[id_col], pdf[text_col].fillna("")):
+                    p, hh = winnow_position_pairs(t, k, window, powers)
+                    if len(p):
+                        ids.extend([i] * len(p))
+                        poss.append(p)
+                        fps.append(hh)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.asarray(ids, dtype=np.int64),
+                        "pos": np.concatenate(poss).astype(np.int32),
+                        "fp": np.concatenate(fps).astype(np.int64),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 
 # ---------------------------------------------------------------------------

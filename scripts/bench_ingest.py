@@ -85,9 +85,20 @@ def main() -> None:
     for factor in FACTORS:
         corpus_n = (pool_n // (max_factor + 1)) * factor
         old = pool.filter(F.col("doc_id") < corpus_n)
-        batch = pool.filter(
-            (F.col("doc_id") >= corpus_n) & (F.col("doc_id") < corpus_n + BATCH_DOCS)
+        # batch = first BATCH_DOCS docs (id order) of the NEXT rep block — id
+        # slicing by [corpus_n, corpus_n+BATCH_DOCS) assumed dense ids; a
+        # regenerated documents.parquet with sparse ids would silently shrink
+        # the batch and corrupt the sweep. orderBy+limit on 500 rows is cheap.
+        batch = (
+            pool.filter(
+                (F.col("doc_id") >= corpus_n) & (F.col("doc_id") < corpus_n + pool_n)
+            )
+            .orderBy("doc_id")
+            .limit(BATCH_DOCS)
+            .localCheckpoint(eager=True)
         )
+        old_n, batch_n = old.count(), batch.count()
+        assert batch_n == BATCH_DOCS, (batch_n, BATCH_DOCS)
         store = tempfile.mkdtemp(prefix=f"kgtm-ingest-{factor}-")
         try:
             t0 = time.perf_counter()
@@ -98,7 +109,7 @@ def main() -> None:
             append_curated_batch(spark, store, new_docs=batch)
             state_sec = round(time.perf_counter() - t0, 2)
             n_after = read_ledger(spark, store).count()
-            assert n_after == corpus_n + BATCH_DOCS, (n_after, corpus_n)
+            assert n_after == old_n + batch_n, (n_after, old_n, batch_n)
 
             # derive-mode contrast: same decisions, corpus re-derived from text
             ledger = read_ledger(spark, store).filter(
@@ -113,7 +124,7 @@ def main() -> None:
             shutil.rmtree(store, ignore_errors=True)
         rows.append(
             {
-                "corpus_docs": corpus_n,
+                "corpus_docs": old_n,  # measured row count, not the id stride
                 "setup_sec": setup_sec,
                 "state_append_sec": state_sec,
                 "derive_sec": derive_sec,

@@ -273,9 +273,15 @@ def test_expire_refuses_stranding_deltas(spark, documents, tmp_path):
 
 @pytest.mark.parametrize("coord_name", ["rename", "lock"])
 def test_concurrent_writers_through_coordinators(spark, documents, tmp_path, coord_name):
-    """The seq-claim protocol holds under real concurrency through BOTH
-    coordinator implementations: default exists+rename and the lock-backed
-    conditional-put stand-in (the S3A story)."""
+    """The seq-claim protocol holds through BOTH coordinator implementations.
+
+    True 6-way concurrency runs ONLY through LockCommitCoordinator — its
+    claim is atomic by construction. RenameCommitCoordinator's own docstring
+    says the exists+rename pair 'narrows but cannot close' the race window on
+    a POSIX local FS (rename overwrites), so asserting unique seqs under real
+    concurrency there is asserting a property the implementation explicitly
+    does not guarantee — that leg runs the same 6 writers sequentially
+    (exercising claim/retry mechanics, not the un-guaranteed race)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from kgtm.materialize import (
@@ -298,8 +304,11 @@ def test_concurrent_writers_through_coordinators(spark, documents, tmp_path, coo
             df, store, table="docs", partition_by=(), coordinator=coord
         )
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
-        commits = list(pool.map(commit, range(6)))
+    if coord_name == "lock":
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            commits = list(pool.map(commit, range(6)))
+    else:
+        commits = [commit(i) for i in range(6)]
     seqs = sorted(c["seq"] for c in commits)
     assert len(set(seqs)) == 6, seqs
     assert [c["seq"] for c in list_commits(store)] == seqs

@@ -1,0 +1,411 @@
+"""Round-5 coverage: CAS-guarded ledger appends, chain-linked delta
+resolution, auto-compaction, stale-claim release, out-of-band-deletion
+guards, and the state-expiry stranding guard.
+
+Verdict lineage: VERDICT.md r4 "Next round" items 3 (coordinator-backed CAS
+for append_curated_batch) and 4 (auto-compaction policy), plus ADVICE items
+on _read_resolved_ledger silent shrinkage and expire_commits' state-table
+guard.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# out-of-band deletion: resolved ledger data must not silently shrink
+# ---------------------------------------------------------------------------
+
+
+def test_read_ledger_raises_on_missing_delta_dir(spark, documents, tmp_path):
+    """An out-of-band-deleted delta data dir (manifest left behind) must
+    raise, not silently drop that batch's rows from read_ledger."""
+    from kgtm.curation import (
+        append_curated_batch,
+        persist_curated_corpus,
+        read_ledger,
+    )
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 120)
+    batch = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 150))
+    persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+    delta = append_curated_batch(spark, store, new_docs=batch)
+    assert read_ledger(spark, store).count() == 150
+
+    shutil.rmtree(f"{store}/ledger/commit={delta['commit_id']}")
+    with pytest.raises(FileNotFoundError, match="out-of-band"):
+        read_ledger(spark, store).count()
+
+
+# ---------------------------------------------------------------------------
+# expire_commits: state-table stranding guard
+# ---------------------------------------------------------------------------
+
+
+def test_expire_refuses_stranding_live_state(spark, documents, tmp_path):
+    """A live state commit backing a LIVE ledger commit must not be expired
+    (the store would silently demote to derive mode); a state commit backing
+    a dead/unknown ledger commit expires fine."""
+    from kgtm.materialize import expire_commits, write_table
+
+    store = str(tmp_path / "store")
+    df = documents.limit(5)
+    led = write_table(
+        df.select("doc_id"),
+        store,
+        table="ledger",
+        partition_by=(),
+        extra_manifest={"ledger_kind": "snapshot"},
+    )
+    # two state commits on one table: the OLDER one backs the live ledger
+    # commit (would strand), the newer backs an unknown/dead commit id
+    write_table(
+        df.select("doc_id"),
+        store,
+        table="ledger_digests",
+        partition_by=(),
+        extra_manifest={
+            "ledger_kind": "state",
+            "for_ledger_commit": led["commit_id"],
+        },
+    )
+    write_table(
+        df.select("doc_id"),
+        store,
+        table="ledger_digests",
+        partition_by=(),
+        extra_manifest={"ledger_kind": "state", "for_ledger_commit": "deadbeef"},
+    )
+    with pytest.raises(ValueError, match="derive mode"):
+        expire_commits(store, keep_last=1)
+
+    # flip the order: now the victim backs the dead commit — expiry proceeds
+    store2 = str(tmp_path / "store2")
+    led2 = write_table(
+        df.select("doc_id"),
+        store2,
+        table="ledger",
+        partition_by=(),
+        extra_manifest={"ledger_kind": "snapshot"},
+    )
+    write_table(
+        df.select("doc_id"),
+        store2,
+        table="ledger_digests",
+        partition_by=(),
+        extra_manifest={"ledger_kind": "state", "for_ledger_commit": "deadbeef"},
+    )
+    write_table(
+        df.select("doc_id"),
+        store2,
+        table="ledger_digests",
+        partition_by=(),
+        extra_manifest={
+            "ledger_kind": "state",
+            "for_ledger_commit": led2["commit_id"],
+        },
+    )
+    victims = expire_commits(store2, keep_last=1)
+    assert any(c.get("for_ledger_commit") == "deadbeef" for c in victims)
+
+
+# ---------------------------------------------------------------------------
+# CAS successor claim: one delta per base
+# ---------------------------------------------------------------------------
+
+
+def _mini_store(spark, documents, root, n_old=100):
+    from kgtm.curation import persist_curated_corpus
+
+    old = documents.filter(F.col("doc_id") < n_old)
+    persist_curated_corpus(old, str(root), min_quality=0.4, jaccard_threshold=0.5)
+    return old
+
+
+def test_concurrent_appends_same_base_exactly_one_wins(spark, documents, tmp_path):
+    """Two truly concurrent appends from the same base through
+    LockCommitCoordinator (atomic claim): exactly one lands, the loser gets
+    the recompute error, and the store resolves old + winner only."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kgtm.curation import append_curated_batch, read_ledger
+    from kgtm.materialize import LockCommitCoordinator
+
+    store = str(tmp_path / "store")
+    _mini_store(spark, documents, store)
+    b1 = documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    b2 = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    coord = LockCommitCoordinator()
+
+    def run(batch):
+        try:
+            return ("ok", append_curated_batch(
+                spark, store, new_docs=batch, coordinator=coord
+            ))
+        except RuntimeError as e:
+            return ("err", str(e))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        results = list(pool.map(run, [b1, b2]))
+    outcomes = sorted(r[0] for r in results)
+    assert outcomes == ["err", "ok"], results
+    err_msg = next(r[1] for r in results if r[0] == "err")
+    assert "concurrent ledger commit" in err_msg
+    n = read_ledger(spark, store).count()
+    assert n == 120  # 100 old + exactly one 20-doc batch
+
+    # the loser recomputes from the new head and lands cleanly
+    loser_batch = b1 if results[0][0] == "err" else b2
+    # ids must stay monotone: only the higher-id batch can follow the winner
+    if results[1][0] == "err":  # b2 lost: b2's ids > b1's — fine to re-append
+        append_curated_batch(spark, store, new_docs=b2, coordinator=coord)
+        assert read_ledger(spark, store).count() == 140
+    else:
+        # b1 lost to b2; b1's ids are below b2's, monotone guard refuses —
+        # exactly the contract (recompute means re-batching upstream)
+        with pytest.raises(ValueError, match="monotone"):
+            append_curated_batch(spark, store, new_docs=loser_batch, coordinator=coord)
+
+
+def test_orphaned_delta_is_invisible_and_never_a_base(spark, documents, tmp_path):
+    """A delta whose base_seq does not link to the chain head (a writer that
+    slipped past the claim) is structurally invisible to read_ledger, and
+    the next append bases itself on the chain head, not the orphan."""
+    from kgtm.curation import (
+        _resolve_ledger_commits,
+        append_curated_batch,
+        curate_documents,
+        persist_curated_corpus,
+        read_ledger,
+    )
+    from kgtm.curation import _commit_ledger_rows
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 100)
+    persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+    b1 = documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    d1 = append_curated_batch(spark, store, new_docs=b1)
+
+    # forge an orphan: a delta claiming a base_seq BELOW the chain head
+    orphan_rows = curate_documents(
+        documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 130))
+    )
+    _commit_ledger_rows(
+        orphan_rows,
+        store,
+        kind="delta",
+        curation_params={"min_quality": 0.4, "jaccard_threshold": 0.5},
+        extra={"base_seq": d1["base_seq"], "base_commit_id": "stale"},
+    )
+    assert read_ledger(spark, store).count() == 120  # orphan invisible
+    chain = _resolve_ledger_commits(spark, store)
+    assert chain[-1]["commit_id"] == d1["commit_id"]
+
+    # next append chains onto d1, not the orphan
+    b3 = documents.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 170))
+    d3 = append_curated_batch(spark, store, new_docs=b3)
+    assert d3["base_commit_id"] == d1["commit_id"]
+    assert read_ledger(spark, store).count() == 140
+
+
+# ---------------------------------------------------------------------------
+# auto-compaction policy
+# ---------------------------------------------------------------------------
+
+
+def test_append_auto_compacts_at_max_deltas(spark, documents, tmp_path):
+    """max_deltas=2: the append that brings the chain to 2 deltas folds it
+    back into one snapshot; decisions and threshold resolution survive."""
+    from kgtm.curation import (
+        _resolve_ledger_commits,
+        append_curated_batch,
+        persist_curated_corpus,
+        read_ledger,
+    )
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 100)
+    persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+    b1 = documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    b2 = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    b3 = documents.filter((F.col("doc_id") >= 140) & (F.col("doc_id") < 160))
+
+    append_curated_batch(spark, store, new_docs=b1, max_deltas=2)
+    chain = _resolve_ledger_commits(spark, store)
+    assert [c.get("ledger_kind") for c in chain] == ["snapshot", "delta"]
+
+    append_curated_batch(spark, store, new_docs=b2, max_deltas=2)
+    chain = _resolve_ledger_commits(spark, store)
+    assert [c.get("ledger_kind") for c in chain] == ["snapshot"]  # folded
+    assert chain[0].get("curation_params", {}).get("min_quality") == 0.4
+    assert read_ledger(spark, store).count() == 140
+
+    # appends keep working from the compacted snapshot (params recorded)
+    append_curated_batch(spark, store, new_docs=b3, max_deltas=2)
+    assert read_ledger(spark, store).count() == 160
+
+
+# ---------------------------------------------------------------------------
+# decontamination: broadcast vs shuffle strategy parity
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_broadcast_shuffle_parity(spark, documents):
+    """With no df cap both strategies are exact and must emit identical
+    (doc, bench, containment) rows; 'auto' with a tiny threshold routes to
+    shuffle (degrades gracefully instead of broadcasting a huge side)."""
+    from kgtm.dedup import contamination_pairs
+
+    docs = documents.filter(F.col("doc_id") < 200)
+    # benchmark = substrings of real docs → guaranteed containment hits
+    bench = (
+        documents.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+        .select(
+            (F.col("doc_id") - 20).alias("bench_id"),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ").alias(
+                "text"
+            ),
+        )
+    )
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    bc = contamination_pairs(docs, bench, strategy="broadcast", threshold=0.5)
+    sh = contamination_pairs(docs, bench, strategy="shuffle", threshold=0.5)
+    auto_sh = contamination_pairs(
+        docs, bench, strategy="auto", broadcast_max_items=1, threshold=0.5
+    )
+    got = snap(bc)
+    assert len(got) > 0  # the planted substrings must actually hit
+    assert snap(sh) == got
+    assert snap(auto_sh) == got
+
+    # capped run stays consistent across strategies too (approximation is
+    # strategy-independent: the cap is computed over the combined space)
+    bc_cap = contamination_pairs(
+        docs, bench, strategy="broadcast", threshold=0.5, max_shingle_df=50
+    )
+    sh_cap = contamination_pairs(
+        docs, bench, strategy="shuffle", threshold=0.5, max_shingle_df=50
+    )
+    assert snap(bc_cap) == snap(sh_cap)
+
+
+# ---------------------------------------------------------------------------
+# positional winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_positions_matches_duckdb_twin(spark):
+    """The exploded (doc_id, pos, fp) positional winnowing table must equal
+    the DuckDB robust-winnowing twin row for row on the sf0.001 corpus
+    (pytest-gated value check, same pattern as simhash_wide_hamming — the
+    driver gate is capped at 50 queries)."""
+    import duckdb
+
+    from kgtm import oracles
+    from kgtm.textstats import winnow_positions
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.pos, r.fp) for r in winnow_positions(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        (int(d), int(p), int(f))
+        for d, p, f in con.execute(oracles.q_winnow_positions()).fetchall()
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_winnow_positions_localize_planted_overlap(spark):
+    """The standard winnowing guarantee: two documents sharing a passage of
+    at least window+k-1 chars share at least one selected fingerprint, and
+    the matched positions land INSIDE the shared passage on both sides;
+    unrelated documents share (essentially) none."""
+    from kgtm.textstats import winnow_positions
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    pre_a, pre_b = "alpha beta gamma delta " , "one two three four five six "
+    doc_a = pre_a + shared + " and then some trailing words here"
+    doc_b = pre_b + shared + " with a different continuation text"
+    # junk tokens sharing no 5-gram with doc_a/doc_b (any real English words
+    # risk a legitimately-shared-and-selected 5-gram like ' cont')
+    doc_c = "zzzzq qqzzx xxqqy yyxxw wwyyv vvwwu uuvvt ttuus ssttr rrssp"
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    rows = winnow_positions(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.fp))
+
+    fps = lambda d: {f for _, f in by_doc[d]}  # noqa: E731
+    common_ab = fps(1) & fps(2)
+    assert common_ab, "shared passage must produce shared fingerprints"
+    assert not (fps(1) & fps(3)) and not (fps(2) & fps(3))
+
+    # the winnowing guarantee is EXISTENCE: at least one shared fingerprint
+    # is picked INSIDE the shared span on both sides (a shared 5-gram can
+    # also legitimately repeat outside it — universality would overclaim)
+    k = 5
+    in_span = {}
+    for doc_id, pre in ((1, pre_a), (2, pre_b)):
+        lo, hi = len(pre), len(pre) + len(shared) - k
+        in_span[doc_id] = {
+            fp for pos, fp in by_doc[doc_id] if fp in common_ab and lo <= pos <= hi
+        }
+    assert in_span[1] & in_span[2], "no shared pick localized the overlap"
+
+
+# ---------------------------------------------------------------------------
+# stale-claim release
+# ---------------------------------------------------------------------------
+
+
+def test_release_stale_ledger_claims(spark, documents, tmp_path):
+    """A crashed winner's claim blocks appends from that base until released;
+    fulfilled claims are never released."""
+    from kgtm.curation import (
+        _resolve_ledger_commits,
+        append_curated_batch,
+        persist_curated_corpus,
+        read_ledger,
+        release_stale_ledger_claims,
+    )
+    from kgtm.materialize import claim_marker, list_claim_markers
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 100)
+    persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+    b1 = documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    d1 = append_curated_batch(spark, store, new_docs=b1)
+    # d1's claim is fulfilled — never released, even with min_age_ms=0
+    assert release_stale_ledger_claims(spark, store, min_age_ms=0) == []
+
+    # simulate a crashed winner: claim the current head's successor marker
+    head = _resolve_ledger_commits(spark, store)[-1]
+    assert claim_marker(spark, store, f"ledger-succ-{head['commit_id']}", {"op": "append"})
+    b2 = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    with pytest.raises(RuntimeError, match="successor claim"):
+        append_curated_batch(spark, store, new_docs=b2)
+
+    # age-gated release: too young → kept; old enough → released
+    assert release_stale_ledger_claims(spark, store, min_age_ms=3600 * 1000) == []
+    released = release_stale_ledger_claims(spark, store, min_age_ms=0)
+    assert released == [f"ledger-succ-{head['commit_id']}"]
+    assert f"ledger-succ-{head['commit_id']}" not in list_claim_markers(store, spark)
+
+    append_curated_batch(spark, store, new_docs=b2)
+    assert read_ledger(spark, store).count() == 140
