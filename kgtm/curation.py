@@ -130,6 +130,35 @@ def _check_guard_row(row, min_quality: float) -> None:
         )
 
 
+def _pruned_flat_lookup(
+    flat: DataFrame,
+    shingles: DataFrame,
+    n_buckets: int | None,
+    max_collect: int = 4096,
+) -> DataFrame:
+    """Rows of a (bucketed) stored shingle flat whose shingle is in the
+    SMALL set ``shingles`` — the read path where directory bucketing
+    actually prunes: the set is collected (capped at ``max_collect``; the
+    newly-hot set is typically 0-10 shingles per append), its bucket ids
+    computed driver-side, and the scan filtered to sb ∈ those buckets
+    (partition pruning skips every other directory) plus shingle ∈ values.
+    Falls back to the broadcast semi-join (full map-side-filtered scan —
+    always correct, just unpruned) when the set is larger than the cap or
+    the store predates bucketing. ``n_buckets`` must be the value recorded
+    in the store's state manifests — a drifted constant would mis-prune."""
+    rows = shingles.limit(max_collect + 1).collect()
+    if len(rows) <= max_collect:
+        vals = [r[0] for r in rows]
+        if not vals:
+            return flat.filter(F.lit(False))
+        out = flat
+        if n_buckets and "sb" in flat.columns:
+            buckets = sorted({v % n_buckets for v in vals})
+            out = out.filter(F.col("sb").isin(buckets))
+        return out.filter(F.col("shingle").isin(vals))
+    return flat.join(F.broadcast(shingles), "shingle", "left_semi")
+
+
 def incremental_curate(
     old_docs: DataFrame | None,
     old_ledger: DataFrame,
@@ -141,7 +170,11 @@ def incremental_curate(
     corpus_digests: DataFrame | None = None,
     corpus_flat: DataFrame | None = None,
     corpus_shingle_df: DataFrame | None = None,
+    corpus_doc_sizes: DataFrame | None = None,
+    corpus_hot: DataFrame | None = None,
+    corpus_n_buckets: int | None = None,
     skip_guards: bool = False,
+    _state_out: dict | None = None,
 ) -> DataFrame:
     """Curate ONLY a newly-arrived batch against an already-curated corpus:
     ledger rows for the new docs, with EXACT full-run parity.
@@ -272,7 +305,7 @@ def incremental_curate(
         # COMBINED shingle space — same as a full run, so a shingle pushed
         # over the cap by the batch is dropped on both sides exactly as
         # curate_documents would.
-        from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF
+        from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF, probe_pairs_with_sizes
 
         new_flat = flat_shingles(
             hq_new.join(new_survived_exact, id_col, "left_semi").select(
@@ -281,42 +314,139 @@ def incremental_curate(
             text_col="text",
             id_col="doc_id",
         )
-        old_flat = corpus_flat.select("id", "shingle")
-        if corpus_shingle_df is not None:
-            # hot set from the MATERIALIZED per-shingle df contributions +
-            # the batch's own counts — an aggregation over (distinct
-            # shingles + batch), not a groupBy shuffle of the whole corpus
-            # flat. Contribution sums == a fresh count over the combined
-            # flat because contributions partition it by commit.
+        v2 = (
+            corpus_shingle_df is not None
+            and corpus_doc_sizes is not None
+            and corpus_hot is not None
+        )
+        if v2:
+            # ---- v2 (round 5): NO consumer below touches the full corpus
+            # flat more than the ONE map-side-filtered columnar scan (o_hit)
+            # plus the bucket-pruned newly-hot owner lookup. Hot set is
+            # INCREMENTAL: hot_now = stored_hot ∪ {batch shingles whose
+            # stored_total + batch_count crosses the cap} — df only grows
+            # and only batch shingles' totals change, so this equals the
+            # full recompute over the combined corpus. Participant sizes
+            # come from the materialized ledger_doc_sizes sum (post-cap
+            # under stored_hot) corrected by the newly-hot ownership counts.
             batch_df = new_flat.groupBy("shingle").agg(
                 F.count(F.lit(1)).alias("df")
             )
-            hot = (
+            hot_old = corpus_hot.select("shingle").distinct()
+            cand = batch_df.join(hot_old, "shingle", "left_anti")
+            # stored totals for the batch's (not-yet-hot) shingles only —
+            # a map-side-filtered scan of the df table, never a full groupBy
+            old_tot = (
                 corpus_shingle_df.select("shingle", "df")
-                .unionByName(batch_df)
+                .join(F.broadcast(cand.select("shingle")), "shingle", "left_semi")
                 .groupBy("shingle")
-                .agg(F.sum("df").alias("df_total"))
-                .filter(F.col("df_total") > DEFAULT_MAX_SHINGLE_DF)
-                .select("shingle")
+                .agg(F.sum("df").alias("old_df"))
             )
+            newly_hot = (
+                cand.join(old_tot, "shingle", "left")
+                .filter(
+                    F.coalesce(F.col("old_df"), F.lit(0)) + F.col("df")
+                    > DEFAULT_MAX_SHINGLE_DF
+                )
+                .select("shingle")
+                .localCheckpoint(eager=False)
+            )
+            hot_now = hot_old.unionByName(newly_hot).localCheckpoint(eager=False)
+            p = new_flat.join(
+                F.broadcast(hot_now), "shingle", "left_anti"
+            ).localCheckpoint(eager=False)
+            # ONE scan of the stored flat: broadcast-semi on the batch's
+            # post-cap shingle set filters map-side, so only rows that can
+            # pair with the batch are ever shuffled (hot rows self-exclude:
+            # p's shingles are post-cap)
+            probe_sh = p.select("shingle").distinct()
+            o_hit = (
+                corpus_flat.select("id", "shingle")
+                .join(F.broadcast(probe_sh), "shingle", "left_semi")
+                .localCheckpoint(eager=False)
+            )
+            # owner corrections: stored docs owning a newly-hot shingle have
+            # their stored post-cap size overcounted by exactly that many
+            # rows. |newly-hot| is tiny (shingles cross the cap once), so
+            # the lookup collects it and prunes to the buckets it hits.
+            owner_corr = (
+                _pruned_flat_lookup(corpus_flat, newly_hot, corpus_n_buckets)
+                .groupBy("id")
+                .agg((-F.count(F.lit(1))).alias("corr"))
+                .localCheckpoint(eager=False)
+            )
+            batch_sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+            old_ids = o_hit.select("id").distinct()
+            old_sizes = (
+                corpus_doc_sizes.select("id", "n_sh")
+                .join(old_ids, "id", "left_semi")
+                .groupBy("id")
+                .agg(F.sum("n_sh").alias("n_sh"))
+                .join(owner_corr, "id", "left")
+                .select(
+                    "id",
+                    (F.col("n_sh") + F.coalesce(F.col("corr"), F.lit(0))).alias(
+                        "n_sh"
+                    ),
+                )
+            )
+            pairs = probe_pairs_with_sizes(
+                p, o_hit, batch_sizes.unionByName(old_sizes), jaccard_threshold
+            )
+            if _state_out is not None:
+                # the O(batch) state contributions the committing append
+                # writes — computed HERE once (all lazily checkpointed above,
+                # so the post-commit state write reuses materialized RDDs)
+                _state_out.update(
+                    {
+                        "ledger_digests": new_digests.join(
+                            new_survived_exact, id_col, "left_semi"
+                        ).select(F.col("_dg").alias("dg")),
+                        "ledger_shingles": new_flat,
+                        "ledger_shingle_df": batch_df,
+                        "ledger_doc_sizes": batch_sizes.unionByName(
+                            owner_corr.select("id", F.col("corr").alias("n_sh"))
+                        ),
+                        "ledger_hot": newly_hot,
+                    }
+                )
         else:
-            combined = old_flat.unionByName(new_flat)
-            hot = (
-                combined.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("df_"))
-                .filter(F.col("df_") > DEFAULT_MAX_SHINGLE_DF)
-                .select("shingle")
+            old_flat = corpus_flat.select("id", "shingle")
+            if corpus_shingle_df is not None:
+                # hot set from the MATERIALIZED per-shingle df contributions
+                # + the batch's own counts — an aggregation over (distinct
+                # shingles + batch), not a groupBy shuffle of the whole
+                # corpus flat. Contribution sums == a fresh count over the
+                # combined flat because contributions partition it by commit.
+                batch_df = new_flat.groupBy("shingle").agg(
+                    F.count(F.lit(1)).alias("df")
+                )
+                hot = (
+                    corpus_shingle_df.select("shingle", "df")
+                    .unionByName(batch_df)
+                    .groupBy("shingle")
+                    .agg(F.sum("df").alias("df_total"))
+                    .filter(F.col("df_total") > DEFAULT_MAX_SHINGLE_DF)
+                    .select("shingle")
+                )
+            else:
+                combined = old_flat.unionByName(new_flat)
+                hot = (
+                    combined.groupBy("shingle")
+                    .agg(F.count(F.lit(1)).alias("df_"))
+                    .filter(F.col("df_") > DEFAULT_MAX_SHINGLE_DF)
+                    .select("shingle")
+                )
+            # the probe/rest split is known BY CONSTRUCTION here (probe ids
+            # == the batch's ids == exactly new_flat's ids), so skip the two
+            # probe-membership joins the generic entry point runs over the
+            # full flat — the corpus flat is touched once by the pair join
+            # and once by the participant-size pass, nothing else
+            pairs = probe_pairs_from_split(
+                new_flat.join(F.broadcast(hot), "shingle", "left_anti"),
+                old_flat.join(F.broadcast(hot), "shingle", "left_anti"),
+                jaccard_threshold,
             )
-        # the probe/rest split is known BY CONSTRUCTION here (probe ids ==
-        # the batch's ids == exactly new_flat's ids), so skip the two probe-
-        # membership joins the generic entry point runs over the full flat —
-        # the corpus flat is touched once by the pair join and once by the
-        # participant-size pass, nothing else
-        pairs = probe_pairs_from_split(
-            new_flat.join(F.broadcast(hot), "shingle", "left_anti"),
-            old_flat.join(F.broadcast(hot), "shingle", "left_anti"),
-            jaccard_threshold,
-        )
     else:
         old_participants = old_docs.join(
             old_ledger.filter(
@@ -410,41 +540,91 @@ def _commit_ledger_rows(
 # materialized corpus-side curation state (digests + shingle flat)
 # ---------------------------------------------------------------------------
 
-STATE_TABLES = ("ledger_digests", "ledger_shingles", "ledger_shingle_df")
+#: v1 core state (round 4): digest set, participant shingle flat, df
+#: contributions. v2 additions (round 5): per-doc post-cap shingle counts
+#: and the accreted hot-shingle set — what lets an append skip every
+#: counting pass over the corpus flat (see incremental_curate's v2 branch).
+STATE_TABLES = (
+    "ledger_digests",
+    "ledger_shingles",
+    "ledger_shingle_df",
+    "ledger_doc_sizes",
+    "ledger_hot",
+)
+_STATE_TABLES_V1 = STATE_TABLES[:3]
+
+#: Directory-bucket count for the shingle-keyed state tables
+#: (ledger_shingles / ledger_shingle_df are partitioned by
+#: sb = pmod(shingle, N)). Pruning wins come from SMALL probe sets — the
+#: newly-hot owner lookup touches a handful of shingles per append, so it
+#: reads a handful of directories instead of the whole flat; a batch's full
+#: shingle set is hash-uniform and hits every bucket, which is why the
+#: batch-side join relies on the broadcast map-side filter instead. The
+#: value is recorded per state commit (manifest key shingle_buckets) and
+#: read back from there, so changing this constant never mis-prunes an
+#: existing store; at real cluster scale pick O(thousands).
+N_SHINGLE_BUCKETS = 64
+
+
+class CorpusState:
+    """Materialized corpus-side curation state, as read for one resolved
+    ledger chain. ``doc_sizes``/``hot`` are None for v1 (round-4) stores —
+    incremental_curate then falls back to counting passes over ``flat``."""
+
+    def __init__(self, digests, flat, shingle_df, doc_sizes=None, hot=None,
+                 n_buckets=None):
+        self.digests = digests
+        self.flat = flat
+        self.shingle_df = shingle_df
+        self.doc_sizes = doc_sizes
+        self.hot = hot
+        self.n_buckets = n_buckets
 
 
 def _state_frames(
     docs: DataFrame, ledger_rows: DataFrame, text_col: str, id_col: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The corpus-side state a ledger commit contributes, derived from the
-    committed rows themselves:
+) -> dict[str, DataFrame]:
+    """The corpus-side state a ledger SNAPSHOT commit contributes, derived
+    from the committed rows themselves (keyed by state-table name):
 
-      digests  (dg)          — content digests of the commit's EXACT KEEPERS
+      ledger_digests (dg)    — content digests of the commit's EXACT KEEPERS
                                (rows kept or near-dup-dropped). Keepers own
                                one distinct digest each and every HQ doc's
                                digest is owned by some keeper, so the union
                                across commits == distinct digests of all HQ
                                docs — exactly incremental_curate's exact-
                                stage input.
-      shingles (id, shingle) — flat shingle-hash rows of the same ids, which
-                               are precisely the near-dup graph participants
-                               (exact survivors) — exactly the corpus side
-                               of the probe pair join.
-      shingle_df (shingle, df) — the commit's per-shingle document-frequency
-                               CONTRIBUTION. Summed across commits (+ the
-                               incoming batch) it reproduces the global df,
-                               so the hot-shingle cap is decided from a
-                               compact pre-aggregated table instead of a
-                               full groupBy over the corpus flat — the last
-                               O(corpus)-shuffle the state path had.
+      ledger_shingles (id, shingle) — PRE-CAP flat shingle-hash rows of the
+                               same ids, which are precisely the near-dup
+                               graph participants (exact survivors) —
+                               exactly the corpus side of the probe pair
+                               join (the df cap is applied at read time).
+      ledger_shingle_df (shingle, df) — the commit's per-shingle document-
+                               frequency CONTRIBUTION. Summed across commits
+                               (+ the incoming batch) it reproduces the
+                               global df, so the hot-shingle cap is decided
+                               from a compact pre-aggregated table instead
+                               of a full groupBy over the corpus flat.
+      ledger_doc_sizes (id, n_sh) — per-participant POST-CAP shingle count
+                               under the hot set AS OF this commit; later
+                               appends write negative CORRECTION rows when
+                               further shingles cross the cap, so the
+                               contribution SUM always equals the count
+                               under the CURRENT hot set — the pair
+                               operators' |A| without any counting pass
+                               over the corpus flat.
+      ledger_hot (shingle)   — shingles over the df cap as of this commit;
+                               accretes append-only (df never decreases), so
+                               union(contributions) == the current hot set
+                               and an append derives the post-batch hot set
+                               from it + the batch's own counts alone.
 
     All contributions are O(commit) — a snapshot writes its corpus once, a
-    delta writes only its batch — and disjoint across commits (keepers'
-    digests are unseen by construction; participant ids are the commit's
-    own), so the state tables accrete append-only with no read-side dedup
-    (df contributions additively merge by design).
+    delta writes only its batch (+ the owner corrections of its newly-hot
+    shingles, bounded by cap×|newly-hot|) — and additive across commits, so
+    the state tables accrete append-only with no read-side dedup.
     """
-    from kgtm.dedup import flat_shingles
+    from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF, flat_shingles
 
     participants = docs.join(
         ledger_rows.filter(
@@ -456,49 +636,87 @@ def _state_frames(
     digests = participants.select(F.md5("text").alias("dg"))
     flat = flat_shingles(participants, text_col="text", id_col="doc_id")
     sh_df = flat.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return digests, flat, sh_df
+    hot = sh_df.filter(F.col("df") > DEFAULT_MAX_SHINGLE_DF).select("shingle")
+    doc_sizes = (
+        flat.join(F.broadcast(hot), "shingle", "left_anti")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    return {
+        "ledger_digests": digests,
+        "ledger_shingles": flat,
+        "ledger_shingle_df": sh_df,
+        "ledger_doc_sizes": doc_sizes,
+        "ledger_hot": hot,
+    }
+
+
+#: shingle-keyed state tables get the directory-bucket layout
+_BUCKETED_STATE = ("ledger_shingles", "ledger_shingle_df")
 
 
 def _write_state(
-    digests: DataFrame,
-    flat: DataFrame,
-    sh_df: DataFrame,
+    frames: dict[str, DataFrame],
     out_dir: str,
     for_ledger_commit: str,
     replaces: dict[str, list[str]] | None = None,
+    n_buckets: int | None = N_SHINGLE_BUCKETS,
 ) -> None:
     """Commit the state contributions, each tagged with the ledger commit
     it belongs to (``for_ledger_commit``) — state reads resolve by mapping
     the resolved ledger commits to their state commits, so a re-curated
-    snapshot automatically orphans the previous corpus state."""
+    snapshot automatically orphans the previous corpus state. Shingle-keyed
+    tables are directory-bucketed by sb = pmod(shingle, N_SHINGLE_BUCKETS)
+    (one file per bucket via the pre-write repartition) so small-shingle-set
+    lookups (_pruned_flat_lookup) prune to the buckets they hit."""
     from kgtm.materialize import write_table
 
-    for table, df in (
-        ("ledger_digests", digests),
-        ("ledger_shingles", flat),
-        ("ledger_shingle_df", sh_df),
-    ):
+    for table in STATE_TABLES:
+        if table not in frames:
+            continue
+        df = frames[table]
         manifest: dict = {
             "ledger_kind": "state",
             "for_ledger_commit": for_ledger_commit,
         }
         if replaces and replaces.get(table):
             manifest["replaces"] = replaces[table]
-        write_table(df, out_dir, table=table, partition_by=(), extra_manifest=manifest)
+        partition_by: tuple[str, ...] = ()
+        n_out = None
+        if table in _BUCKETED_STATE and n_buckets:
+            # n_buckets=None → unbucketed (a delta landing in a pre-round-5
+            # table must match its live layout: parquet partition discovery
+            # refuses mixed sb=/flat directory structures)
+            df = df.withColumn(
+                "sb", F.pmod(F.col("shingle"), F.lit(n_buckets)).cast("int")
+            )
+            partition_by = ("sb",)
+            n_out = n_buckets
+            manifest["shingle_buckets"] = n_buckets
+        write_table(
+            df,
+            out_dir,
+            table=table,
+            partition_by=partition_by,
+            n_output_partitions=n_out,
+            extra_manifest=manifest,
+        )
 
 
-def _read_state(
-    spark, out_dir: str, resolved: list[dict]
-) -> tuple[DataFrame, DataFrame, DataFrame] | None:
-    """(digests, flat, shingle_df) covering EXACTLY the resolved ledger
-    commits, or None when any resolved commit lacks a state commit (state
-    was never written, or a writer crashed between the ledger commit and its
-    state commits) — callers then fall back to derive mode."""
+def _read_state(spark, out_dir: str, resolved: list[dict]) -> CorpusState | None:
+    """State covering EXACTLY the resolved ledger commits, or None when any
+    resolved commit lacks a CORE (v1) state commit (state was never written,
+    or a writer crashed between the ledger commit and its state commits) —
+    callers then fall back to derive mode. The v2 tables (doc_sizes / hot)
+    are OPTIONAL per store generation: when their coverage is incomplete
+    (round-4 store) the returned CorpusState carries None for them and
+    incremental_curate uses the v1 counting passes instead."""
     from kgtm.materialize import list_commits, read_table
 
     want = {c["commit_id"] for c in resolved}
     commits = list_commits(out_dir, spark)
-    frames = []
+    frames: dict[str, DataFrame] = {}
+    n_buckets: set[int | None] = set()
     for table in STATE_TABLES:
         tcs = [c for c in commits if c.get("table") == table]
         replaced = {cid for c in tcs for cid in c.get("replaces", [])}
@@ -508,19 +726,33 @@ def _read_state(
             if c["commit_id"] not in replaced and c.get("for_ledger_commit") in want
         ]
         if {c["for_ledger_commit"] for c in sel} != want:
-            return None
+            if table in _STATE_TABLES_V1:
+                return None
+            frames[table] = None
+            continue
         try:
             df = read_table(spark, out_dir, table=table)
         except FileNotFoundError:
             # manifests exist but every data dir is gone (out-of-band
             # deletion) — treat as no state rather than failing the append
-            return None
-        frames.append(
-            df.filter(
-                F.col("commit").isin([c["commit_id"] for c in sel])
-            ).drop("commit")
-        )
-    return frames[0], frames[1], frames[2]
+            if table in _STATE_TABLES_V1:
+                return None
+            frames[table] = None
+            continue
+        frames[table] = df.filter(
+            F.col("commit").isin([c["commit_id"] for c in sel])
+        ).drop("commit")
+        if table == "ledger_shingles":
+            n_buckets = {c.get("shingle_buckets") for c in sel}
+    nb = n_buckets.pop() if len(n_buckets) == 1 else None
+    return CorpusState(
+        digests=frames["ledger_digests"],
+        flat=frames["ledger_shingles"],
+        shingle_df=frames["ledger_shingle_df"],
+        doc_sizes=frames["ledger_doc_sizes"],
+        hot=frames["ledger_hot"],
+        n_buckets=nb,
+    )
 
 
 def persist_curated_corpus(
@@ -545,31 +777,59 @@ def persist_curated_corpus(
     c = persist_ledger(
         ledger, out_dir, min_quality=min_quality, jaccard_threshold=jaccard_threshold
     )
-    digests, flat, sh_df = _state_frames(docs, ledger, text_col, id_col)
-    _write_state(digests, flat, sh_df, out_dir, c["commit_id"])
+    _write_state(_state_frames(docs, ledger, text_col, id_col), out_dir, c["commit_id"])
     return c
+
+
+def _state_coverage(spark, out_dir: str, resolved: list[dict]) -> set[str]:
+    """State tables whose live commits fully cover the resolved ledger
+    chain (manifest-only check — no data read)."""
+    from kgtm.materialize import list_commits
+
+    want = {c["commit_id"] for c in resolved}
+    commits = list_commits(out_dir, spark)
+    covered = set()
+    for table in STATE_TABLES:
+        tcs = [c for c in commits if c.get("table") == table]
+        replaced = {cid for c in tcs for cid in c.get("replaces", [])}
+        sel = {
+            c["for_ledger_commit"]
+            for c in tcs
+            if c["commit_id"] not in replaced
+            and c.get("for_ledger_commit") in want
+        }
+        if sel == want:
+            covered.add(table)
+    return covered
 
 
 def upgrade_to_state(spark, out_dir: str, docs: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id") -> dict:
     """Backfill materialized curation state for a store written before state
-    existed (plain persist_ledger / derive-mode appends), WITHOUT
-    re-curating: one linear derivation pass over ``docs`` (which must be the
-    corpus the newest ledger version covers — verified against the ledger's
-    id set), then every future append is state-backed and old_docs-free.
+    existed (plain persist_ledger / derive-mode appends) or before the v2
+    tables (doc_sizes / hot — a round-4 store), WITHOUT re-curating: one
+    linear derivation pass over ``docs`` (which must be the corpus the
+    newest ledger version covers — verified against the ledger's id set),
+    writing ONLY the state tables whose coverage is missing (re-writing a
+    covered table would double its additive contributions). Then every
+    future append is state-backed, old_docs-free, and on the v2 O(batch)
+    read path.
 
     Contribution tagging requires one state commit per resolved ledger
     commit, so a multi-commit chain is first folded by compact_ledger (a
     metadata+rewrite operation, no re-curation); the state is then derived
     once for the single resolved snapshot. Returns that snapshot's manifest.
     """
+    from kgtm.materialize import list_commits
+
     resolved = _resolve_ledger_commits(spark, out_dir)
     if len(resolved) > 1:
         compact_ledger(spark, out_dir)
         resolved = _resolve_ledger_commits(spark, out_dir)
     target = resolved[0]
-    if _read_state(spark, out_dir, resolved) is not None:
-        return target  # already state-backed
+    covered = _state_coverage(spark, out_dir, resolved)
+    if set(STATE_TABLES) <= covered:
+        return target  # already fully state-backed (v2)
     ledger = _read_resolved_ledger(spark, out_dir, resolved)
     mismatch = (
         ledger.select(F.col(id_col).alias("id")).withColumn("_l", F.lit(True))
@@ -587,8 +847,25 @@ def upgrade_to_state(spark, out_dir: str, docs: DataFrame,
             f"({mismatch} ids differ) — pass the exact document set the "
             "ledger covers"
         )
-    digests, flat, sh_df = _state_frames(docs, ledger, text_col, id_col)
-    _write_state(digests, flat, sh_df, out_dir, target["commit_id"])
+    # Rewrite ALL tables (replacing any covered v1 commits) rather than
+    # filling only the gaps: a per-gap fill would leave ledger_shingles
+    # half-bucketed across commits (pre-round-5 commits have no sb=
+    # directories), and parquet partition discovery refuses mixed layouts
+    # under one table root. The rewrite costs the same single derivation
+    # pass the upgrade already pays, and `replaces` keeps the additive
+    # contribution sums correct (replaced commits drop out of state reads).
+    want = {rc["commit_id"] for rc in resolved}
+    all_commits = list_commits(out_dir, spark)
+    old_state = {
+        table: [
+            sc["commit_id"]
+            for sc in all_commits
+            if sc.get("table") == table and sc.get("for_ledger_commit") in want
+        ]
+        for table in covered
+    }
+    frames = _state_frames(docs, ledger, text_col, id_col)
+    _write_state(frames, out_dir, target["commit_id"], replaces=old_state)
     return target
 
 
@@ -674,8 +951,8 @@ def append_curated_batch(
     old_ledger = _read_resolved_ledger(spark, out_dir, resolved)
 
     state = _read_state(spark, out_dir, resolved)
+    state_out: dict = {}
     if state is not None:
-        corpus_digests, corpus_flat, corpus_shingle_df = state
         # preconditions (monotone ids + threshold drift) run INSIDE
         # incremental_curate — its single-job guard reads them from the
         # ledger, which is exactly the right source here
@@ -687,9 +964,13 @@ def append_curated_batch(
             jaccard_threshold=jt,
             text_col=text_col,
             id_col=id_col,
-            corpus_digests=corpus_digests,
-            corpus_flat=corpus_flat,
-            corpus_shingle_df=corpus_shingle_df,
+            corpus_digests=state.digests,
+            corpus_flat=state.flat,
+            corpus_shingle_df=state.shingle_df,
+            corpus_doc_sizes=state.doc_sizes,
+            corpus_hot=state.hot,
+            corpus_n_buckets=state.n_buckets,
+            _state_out=state_out,
         )
     else:
         if old_docs is None:
@@ -785,9 +1066,25 @@ def append_curated_batch(
         # contribution, tagged to the delta commit. (Written AFTER the ledger
         # commit — a crash in between leaves the ledger authoritative and
         # _read_state incomplete, so the next append falls back to derive
-        # mode instead of reading half-state.)
-        digests, flat, sh_df = _state_frames(new_docs, new_rows, text_col, id_col)
-        _write_state(digests, flat, sh_df, out_dir, c["commit_id"])
+        # mode instead of reading half-state.) The v2 path stashed its
+        # contribution frames during the curate (including the newly-hot set
+        # and owner corrections — NOT derivable from new_docs alone); a v1
+        # store derives the three core frames from the batch text. A v1
+        # store stays v1 here on purpose: writing v2 tables for only the
+        # delta would leave their coverage incomplete anyway (upgrade_to_
+        # state is the explicit migration path).
+        if state_out:
+            _write_state(
+                state_out, out_dir, c["commit_id"], n_buckets=state.n_buckets
+            )
+        else:
+            frames = _state_frames(new_docs, new_rows, text_col, id_col)
+            _write_state(
+                {t: frames[t] for t in _STATE_TABLES_V1},
+                out_dir,
+                c["commit_id"],
+                n_buckets=state.n_buckets,
+            )
     if max_deltas is not None:
         chain = _resolve_ledger_commits(spark, out_dir)
         if len(chain) - 1 >= max_deltas and chain[-1]["commit_id"] == c["commit_id"]:
@@ -860,30 +1157,39 @@ def compact_ledger(spark, out_dir: str, coordinator=None) -> dict:
         coordinator=coordinator,
     )
     if state is not None:
-        digests, flat, sh_df = state
         want = {rc["commit_id"] for rc in resolved}
         all_commits = list_commits(out_dir, spark)  # ONE manifest scan
+        frames: dict[str, DataFrame] = {
+            "ledger_digests": state.digests.localCheckpoint(eager=True),
+            "ledger_shingles": state.flat.localCheckpoint(eager=True),
+            # fold the per-commit df contributions into canonical totals —
+            # consumers sum contributions anyway, but compaction is the
+            # moment to collapse duplicates of hot shingles
+            "ledger_shingle_df": state.shingle_df.groupBy("shingle")
+            .agg(F.sum("df").alias("df"))
+            .localCheckpoint(eager=True),
+        }
+        if state.doc_sizes is not None and state.hot is not None:
+            # v2 fold: corrections collapse into the canonical post-cap
+            # sizes; the hot set dedupes (contributions are disjoint in a
+            # healthy store, but compaction is the moment to be canonical)
+            frames["ledger_doc_sizes"] = (
+                state.doc_sizes.groupBy("id")
+                .agg(F.sum("n_sh").alias("n_sh"))
+                .localCheckpoint(eager=True)
+            )
+            frames["ledger_hot"] = (
+                state.hot.select("shingle").distinct().localCheckpoint(eager=True)
+            )
         old_state = {
             table: [
                 sc["commit_id"]
                 for sc in all_commits
                 if sc.get("table") == table and sc.get("for_ledger_commit") in want
             ]
-            for table in STATE_TABLES
+            for table in frames
         }
-        _write_state(
-            digests.localCheckpoint(eager=True),
-            flat.localCheckpoint(eager=True),
-            # fold the per-commit df contributions into canonical totals —
-            # consumers sum contributions anyway, but compaction is the
-            # moment to collapse duplicates of hot shingles
-            sh_df.groupBy("shingle")
-            .agg(F.sum("df").alias("df"))
-            .localCheckpoint(eager=True),
-            out_dir,
-            c["commit_id"],
-            replaces=old_state,
-        )
+        _write_state(frames, out_dir, c["commit_id"], replaces=old_state)
     return c
 
 

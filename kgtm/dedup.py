@@ -262,17 +262,10 @@ def probe_pairs_from_flat(
     return probe_pairs_from_split(p, o, threshold)
 
 
-def probe_pairs_from_split(
-    p: DataFrame, o: DataFrame, threshold: float = 0.8
-) -> DataFrame:
-    """Probe pairs when the probe/rest split of the capped flat is ALREADY
-    known: ``p`` = probe-side (id, shingle) rows, ``o`` = rest. The
-    state-backed incremental curation path lands here directly — its probe
-    ids are exactly the batch's ids, so p is the batch's own flat and o the
-    stored corpus flat, skipping the two probe-membership joins (each a full
-    scan of the corpus flat) that the generic entry point needs."""
-    # probe×probe (ordered) + probe×rest (normalized to id_a < id_b);
-    # the two joins are disjoint by construction, so no pair double-counts
+def _probe_inter(p: DataFrame, o: DataFrame) -> DataFrame:
+    """Shared candidate stage of the probe operators: per-(id_a < id_b)
+    shared-shingle counts for probe×probe + probe×rest pairs. The two joins
+    are disjoint by construction, so no pair double-counts."""
     pp = (
         p.select(F.col("id").alias("id_a"), "shingle")
         .join(p.select(F.col("id").alias("id_b"), "shingle"), "shingle")
@@ -287,14 +280,25 @@ def probe_pairs_from_split(
             "shingle",
         )
     )
-    inter = (
+    return (
         pp.select("id_a", "id_b", "shingle")
         .unionByName(po)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        # consumed twice (participant-id projection + the size join below)
-        .localCheckpoint(eager=False)
     )
+
+
+def probe_pairs_from_split(
+    p: DataFrame, o: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Probe pairs when the probe/rest split of the capped flat is ALREADY
+    known: ``p`` = probe-side (id, shingle) rows, ``o`` = rest. The
+    state-backed incremental curation path lands here directly — its probe
+    ids are exactly the batch's ids, so p is the batch's own flat and o the
+    stored corpus flat, skipping the two probe-membership joins (each a full
+    scan of the corpus flat) that the generic entry point needs."""
+    # consumed twice (participant-id projection + the size join below)
+    inter = _probe_inter(p, o).localCheckpoint(eager=False)
     # per-id sizes only for PAIR PARTICIPANTS — a full-corpus sizes groupBy
     # would shuffle counts for every old doc although the inner join below
     # consumes only the candidate set's ids
@@ -310,6 +314,20 @@ def probe_pairs_from_split(
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def probe_pairs_with_sizes(
+    p: DataFrame, o: DataFrame, sizes: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Probe pairs with participant post-cap sizes SUPPLIED externally —
+    the v2 state-backed incremental path (kgtm.curation): old participants'
+    sizes come from the materialized ``ledger_doc_sizes`` contributions
+    instead of a counting pass over the corpus flat, and ``o`` arrives
+    pre-restricted to rows sharing a probe shingle (one map-side-filtered
+    columnar scan of the stored flat), so NO consumer here touches the full
+    corpus. ``sizes`` (id, n_sh) may cover a superset of the actual pair
+    participants — the inner size join keeps only what pairs need."""
+    return _jaccard_from_inter(_probe_inter(p, o), sizes, threshold)
 
 
 # ---------------------------------------------------------------------------

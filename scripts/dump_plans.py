@@ -119,27 +119,30 @@ def main() -> None:
     old_docs = docs.filter("doc_id < 450")
     new_docs = docs.filter("doc_id >= 450")
     led = curate_documents(old_docs).localCheckpoint(eager=True)
-    dg, fl, sdf = _state_frames(old_docs, led, "text", "doc_id")
+    frames = _state_frames(old_docs, led, "text", "doc_id")
     inc = incremental_curate(
         None,
         led,
         new_docs,
-        corpus_digests=dg,
-        corpus_flat=fl,
-        corpus_shingle_df=sdf,
+        corpus_digests=frames["ledger_digests"],
+        corpus_flat=frames["ledger_shingles"],
+        corpus_shingle_df=frames["ledger_shingle_df"],
+        corpus_doc_sizes=frames["ledger_doc_sizes"],
+        corpus_hot=frames["ledger_hot"],
         skip_guards=True,
     )
     sections.append(
         (
-            "incremental_curate (state-backed, the O(batch) append path)",
-            "What to check: NO groupBy over the corpus shingle flat — the "
-            "hot-shingle set comes from the materialized per-shingle df "
-            "contributions unioned with the batch's own counts, and both "
-            "hot anti-joins are explicit broadcasts; the probe/rest split "
-            "is known by construction (probe_pairs_from_split), so the "
-            "corpus flat is touched once by the pair join and once by the "
-            "participant-size pass; only the BATCH's text is ever "
-            "shingled.",
+            "incremental_curate (state-backed v2, the O(batch) append path)",
+            "What to check: NO groupBy and NO counting pass over the corpus "
+            "shingle flat at all — the hot set is INCREMENTAL (stored hot "
+            "union newly-hot from the batch's own counts + a map-side-"
+            "filtered lookup of the stored df contributions), participant "
+            "sizes come from the materialized ledger_doc_sizes sum plus "
+            "newly-hot owner corrections (bucket-pruned lookup), and the "
+            "corpus flat appears exactly ONCE: the broadcast-semi-filtered "
+            "o_hit scan feeding the pair join. Only the BATCH's text is "
+            "ever shingled.",
             formatted(inc),
         )
     )

@@ -152,7 +152,12 @@ def test_state_mode_equals_derive_mode_on_planted_corners(spark):
     old = planted.filter(F.col("doc_id") < 10)
     new = planted.filter(F.col("doc_id") >= 10)
     old_ledger = curate_documents(old).localCheckpoint(eager=True)
-    digests, flat, sh_df = _state_frames(old, old_ledger, "text", "doc_id")
+    frames = _state_frames(old, old_ledger, "text", "doc_id")
+    digests, flat, sh_df = (
+        frames["ledger_digests"],
+        frames["ledger_shingles"],
+        frames["ledger_shingle_df"],
+    )
 
     cols = ["doc_id", "quality_score", "kept", "drop_reason"]
 
@@ -173,10 +178,23 @@ def test_state_mode_equals_derive_mode_on_planted_corners(spark):
         corpus_flat=flat,
         corpus_shingle_df=sh_df,
     )
+    # v2: incremental hot set + materialized doc sizes + pruned lookups —
+    # decisions must STILL not change (round-5 O(batch) read path)
+    state_v2 = incremental_curate(
+        None,
+        old_ledger,
+        new,
+        corpus_digests=digests,
+        corpus_flat=flat,
+        corpus_shingle_df=sh_df,
+        corpus_doc_sizes=frames["ledger_doc_sizes"],
+        corpus_hot=frames["ledger_hot"],
+    )
     full = curate_documents(planted).filter(F.col("doc_id") >= 10)
     assert snap(derive) == snap(full)
     assert snap(state) == snap(full)
     assert snap(state_df) == snap(full)
+    assert snap(state_v2) == snap(full)
     got = {r[0]: r for r in state.collect()}
     assert got[10][3] == "exact-dup" and got[11][3] == "near-dup"
     assert got[12][3] == "near-dup" and got[13][3] == "low-quality"

@@ -251,6 +251,165 @@ def test_append_auto_compacts_at_max_deltas(spark, documents, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# state v2: incremental hot set, materialized doc sizes, bucketed layout
+# ---------------------------------------------------------------------------
+
+
+def test_state_v2_hot_crossing_corrections_and_invariant(spark, tmp_path):
+    """A shingle crossing the df cap DURING an append exercises the whole v2
+    correction machinery: newly-hot detection from stored df contributions,
+    owner corrections into ledger_doc_sizes, and the accreting ledger_hot
+    set. Three checks: (a) append decisions == full-run parity, (b) the
+    stored doc_sizes SUM equals a post-cap recount under the current hot
+    set for every participant, (c) the bucketed sb= layout is on disk."""
+    import os
+
+    from kgtm.curation import (
+        _read_state,
+        _resolve_ledger_commits,
+        append_curated_batch,
+        curate_documents,
+        persist_curated_corpus,
+        read_ledger,
+    )
+    from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF
+
+    cap = DEFAULT_MAX_SHINGLE_DF  # 1000
+    n_a = cap + 50  # phrase A: hot already at the base snapshot
+    n_b_old = cap - 15  # phrase B: 985 old owners ...
+    n_batch = 30  # ... + 30 batch owners -> crosses the cap mid-append
+    a, b = "alpha beta gamma", "delta epsilon zeta"
+    rows = []
+    for i in range(n_a):
+        has_b = i < n_b_old
+        body = f"{a} {b}" if has_b else a
+        rows.append((i, f"{body} u{i} v{i} w{i} x{i} y{i}"))
+    for j in range(n_batch):
+        rows.append((10_000 + j, f"{b} bu{j} bv{j} bw{j} bx{j} by{j}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint(
+        eager=True
+    )
+    old = docs.filter(F.col("doc_id") < 10_000)
+    batch = docs.filter(F.col("doc_id") >= 10_000)
+
+    store = str(tmp_path / "store")
+    persist_curated_corpus(old, store, min_quality=0.0, jaccard_threshold=0.5)
+    st0 = _read_state(spark, store, _resolve_ledger_commits(spark, store))
+    assert st0.doc_sizes is not None and st0.hot is not None  # v2 tier engaged
+    hot0 = st0.hot.count()
+    assert hot0 > 0  # phrase-A shingles already hot at the snapshot
+
+    append_curated_batch(spark, store, new_docs=batch)
+
+    # (a) parity with the full run, restricted to the batch
+    cols = ["doc_id", "quality_score", "kept", "drop_reason"]
+    got = sorted(
+        map(tuple, read_ledger(spark, store).filter(F.col("doc_id") >= 10_000)
+            .select(*cols).collect())
+    )
+    want = sorted(
+        map(tuple, curate_documents(docs, min_quality=0.0, jaccard_threshold=0.5)
+            .filter(F.col("doc_id") >= 10_000).select(*cols).collect())
+    )
+    assert got == want
+
+    # (b) doc_sizes invariant: SUM of contributions == post-cap recount
+    st = _read_state(spark, store, _resolve_ledger_commits(spark, store))
+    assert st.hot.count() > hot0  # B-shingles crossed the cap
+    sizes = (
+        st.doc_sizes.groupBy("id").agg(F.sum("n_sh").alias("stored"))
+    )
+    recount = (
+        st.flat.select("id", "shingle")
+        .join(F.broadcast(st.hot.select("shingle").distinct()), "shingle", "left_anti")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("fresh"))
+    )
+    bad = (
+        sizes.join(recount, "id", "full_outer")
+        .filter(
+            F.coalesce(F.col("stored"), F.lit(0))
+            != F.coalesce(F.col("fresh"), F.lit(0))
+        )
+        .count()
+    )
+    assert bad == 0
+
+    # (c) bucketed directory layout on disk
+    shingle_commits = [
+        d for d in os.listdir(f"{store}/ledger_shingles") if d.startswith("commit=")
+    ]
+    assert shingle_commits
+    for d in shingle_commits:
+        subdirs = os.listdir(f"{store}/ledger_shingles/{d}")
+        assert any(s.startswith("sb=") for s in subdirs), (d, subdirs)
+
+
+def test_v1_store_upgrades_to_v2(spark, documents, tmp_path):
+    """A round-4 store (v1 core state only, unbucketed) keeps appending on
+    the v1 tier; upgrade_to_state rewrites the state bucketed with the v2
+    tables, and subsequent appends run the v2 path."""
+    from kgtm.curation import (
+        _STATE_TABLES_V1,
+        _read_state,
+        _resolve_ledger_commits,
+        _state_frames,
+        _write_state,
+        append_curated_batch,
+        curate_documents,
+        persist_ledger,
+        read_ledger,
+        upgrade_to_state,
+    )
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 120).localCheckpoint(eager=True)
+    ledger = curate_documents(old, min_quality=0.4).localCheckpoint(eager=True)
+    c = persist_ledger(ledger, store, min_quality=0.4, jaccard_threshold=0.5)
+    frames = _state_frames(old, ledger, "text", "doc_id")
+    _write_state(
+        {t: frames[t] for t in _STATE_TABLES_V1},
+        store,
+        c["commit_id"],
+        n_buckets=None,  # round-4 layout: unbucketed, core tables only
+    )
+
+    st = _read_state(spark, store, _resolve_ledger_commits(spark, store))
+    assert st is not None and st.doc_sizes is None and st.n_buckets is None
+
+    b1 = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    append_curated_batch(spark, store, new_docs=b1)  # v1-tier append works
+    assert read_ledger(spark, store).count() == 140
+    st = _read_state(spark, store, _resolve_ledger_commits(spark, store))
+    assert st is not None and st.doc_sizes is None  # still v1
+
+    all_docs = old.unionByName(b1)
+    upgrade_to_state(spark, store, all_docs)
+    st = _read_state(spark, store, _resolve_ledger_commits(spark, store))
+    assert st.doc_sizes is not None and st.hot is not None
+    assert st.n_buckets is not None  # bucketed layout after the rewrite
+
+    b2 = documents.filter((F.col("doc_id") >= 140) & (F.col("doc_id") < 160))
+    append_curated_batch(spark, store, new_docs=b2)  # v2-tier append
+    assert read_ledger(spark, store).count() == 160
+    # parity of the v2 append against the full run on the combined corpus
+    cols = ["doc_id", "quality_score", "kept", "drop_reason"]
+    got = sorted(
+        map(tuple, read_ledger(spark, store).filter(F.col("doc_id") >= 140)
+            .select(*cols).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            curate_documents(
+                documents.filter(F.col("doc_id") < 160), min_quality=0.4
+            ).filter(F.col("doc_id") >= 140).select(*cols).collect(),
+        )
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # decontamination: broadcast vs shuffle strategy parity
 # ---------------------------------------------------------------------------
 
