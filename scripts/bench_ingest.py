@@ -78,45 +78,65 @@ def main() -> None:
     spark.range(1_000_000).select(F.sum("id")).collect()
 
     max_factor = max(FACTORS)
-    pool, pool_n = amplified_docs(spark, sf_dir, max_factor + 1)
+    # +4 blocks beyond the largest corpus: the 3-append median protocol
+    # consumes up to 3×BATCH_DOCS docs PAST the biggest corpus_n (one block
+    # holds one corpus-copy's worth of docs, which can be as small as
+    # BATCH_DOCS at tiny scale factors)
+    n_blocks = max_factor + 4
+    pool, pool_n = amplified_docs(spark, sf_dir, n_blocks)
     pool = pool.repartition(64).localCheckpoint(eager=True)
 
     rows = []
     for factor in FACTORS:
-        corpus_n = (pool_n // (max_factor + 1)) * factor
+        corpus_n = (pool_n // n_blocks) * factor
         old = pool.filter(F.col("doc_id") < corpus_n)
-        # batch = first BATCH_DOCS docs (id order) of the NEXT rep block — id
-        # slicing by [corpus_n, corpus_n+BATCH_DOCS) assumed dense ids; a
-        # regenerated documents.parquet with sparse ids would silently shrink
-        # the batch and corrupt the sweep. orderBy+limit on 500 rows is cheap.
-        batch = (
-            pool.filter(
+        # batches = the first 3×BATCH_DOCS docs (id order) of the NEXT rep
+        # block, split into three successive appends — id slicing by
+        # [corpus_n, corpus_n+BATCH_DOCS) assumed dense ids; a regenerated
+        # documents.parquet with sparse ids would silently shrink the batch
+        # and corrupt the sweep. The box swings ±30% on single runs (see
+        # bench.py's protocol), so each point reports the MEDIAN of the 3
+        # appends; the corpus grows by BATCH_DOCS between them, negligible
+        # at the factors that matter.
+        ids = [
+            r[0]
+            for r in pool.filter(
                 (F.col("doc_id") >= corpus_n) & (F.col("doc_id") < corpus_n + pool_n)
             )
+            .select("doc_id")
             .orderBy("doc_id")
-            .limit(BATCH_DOCS)
-            .localCheckpoint(eager=True)
-        )
-        old_n, batch_n = old.count(), batch.count()
-        assert batch_n == BATCH_DOCS, (batch_n, BATCH_DOCS)
+            .limit(3 * BATCH_DOCS)
+            .collect()
+        ]
+        assert len(ids) == 3 * BATCH_DOCS, len(ids)
+        batches = [
+            pool.filter(
+                F.col("doc_id").isin(ids[k * BATCH_DOCS : (k + 1) * BATCH_DOCS])
+            ).localCheckpoint(eager=True)
+            for k in range(3)
+        ]
+        old_n = old.count()
         store = tempfile.mkdtemp(prefix=f"kgtm-ingest-{factor}-")
         try:
             t0 = time.perf_counter()
             persist_curated_corpus(old, store, min_quality=0.45, jaccard_threshold=0.5)
             setup_sec = round(time.perf_counter() - t0, 2)
 
-            t0 = time.perf_counter()
-            append_curated_batch(spark, store, new_docs=batch)
-            state_sec = round(time.perf_counter() - t0, 2)
+            state_times = []
+            for batch in batches:
+                t0 = time.perf_counter()
+                append_curated_batch(spark, store, new_docs=batch)
+                state_times.append(time.perf_counter() - t0)
+            state_sec = round(sorted(state_times)[1], 2)  # median of 3
             n_after = read_ledger(spark, store).count()
-            assert n_after == old_n + batch_n, (n_after, old_n, batch_n)
+            assert n_after == old_n + 3 * BATCH_DOCS, (n_after, old_n)
 
             # derive-mode contrast: same decisions, corpus re-derived from text
             ledger = read_ledger(spark, store).filter(
                 F.col("doc_id") < corpus_n
             ).localCheckpoint(eager=True)
             t0 = time.perf_counter()
-            incremental_curate(old, ledger, batch).write.format("noop").mode(
+            incremental_curate(old, ledger, batches[0]).write.format("noop").mode(
                 "overwrite"
             ).save()
             derive_sec = round(time.perf_counter() - t0, 2)
@@ -144,30 +164,37 @@ def main() -> None:
 
 Round 3's weakest scale path: every `append_curated_batch` rewrote the full
 ledger snapshot and re-shingled the whole prior corpus — O(corpus) reads AND
-writes per batch. Round 4 appends are DELTA commits (only the batch's rows)
-computed from MATERIALIZED corpus state (`ledger_digests`,
-`ledger_shingles`, `ledger_shingle_df`), so the ledger write is O(batch),
-the exact stage reads a compact digest table, the hot-shingle cap is decided
-from pre-aggregated df contributions (no corpus-flat groupBy shuffle), and
-the probe pair join broadcasts the batch's shingles against the stored flat.
+writes per batch. Round 4 made appends DELTA commits computed from
+materialized corpus state; round 5 (state v2) removed the remaining
+corpus-proportional passes from that state path:
 
-Sweep: fixed {BATCH_DOCS}-doc batch appended to corpora of growing size
+- hot-shingle set is INCREMENTAL (`ledger_hot` accretes; only the batch's
+  shingles can cross the cap, their stored totals come from a map-side-
+  filtered lookup of `ledger_shingle_df`) — no df-table-wide groupBy,
+- participant sizes come from the materialized `ledger_doc_sizes`
+  contribution sums (negative correction rows keep them exact when
+  shingles cross the cap later) — no counting pass over the flat,
+- the stored shingle flat is touched exactly ONCE: a broadcast-semi
+  (batch shingle set) map-side-filtered columnar scan feeding the pair
+  join; newly-hot owner lookups prune to the sb= directory buckets they
+  hit (`N_SHINGLE_BUCKETS`, recorded per commit).
+
+Sweep: fixed {BATCH_DOCS}-doc batches appended to corpora of growing size
 (amplified {sf_dir} documents, copies made distinct by word-suffixing so the
-corpus genuinely grows; local[32]). Setup = full curate + snapshot + state
-write (once per corpus version, amortized over all subsequent appends).
+corpus genuinely grows; local[32]); each point is the MEDIAN of 3
+successive appends (this box swings ±30% on single runs). Setup = full
+curate + snapshot + state write (once per corpus version, amortized over
+all subsequent appends).
 
-| corpus docs | setup (full curate + state, untimed path) | state-backed append | derive-mode append (fallback) |
+| corpus docs | setup (full curate + state, untimed path) | state-backed append (median of 3) | derive-mode append (fallback) |
 |---|---|---|---|
 {table}
 
 State-backed append grew {growth}x across a {last['corpus_docs'] // first['corpus_docs']}x
-corpus growth (derive mode: {d_growth}x). The residual slope is the one
-columnar scan of the stored shingle flat in the probe join and the
-participant-size aggregation — compact int-pair tables, no text
-re-shingling, no corpus-sized shuffle, no snapshot rewrite. At 10^8+ docs,
-bucket `ledger_shingles` by shingle so the probe join prunes instead of
-scanning (write-side `write_bucketed`), making the append fully
-batch-proportional.
+corpus growth (derive mode: {d_growth}x). The remaining corpus-proportional
+term is the single 16-byte-row columnar scan of the stored flat (filtered
+map-side before any shuffle); everything else an append reads —
+digest lookups, df lookups, size lookups — is probe-restricted.
 
 Reproduce: `python scripts/bench_ingest.py`
 (env: SPARK_GRAFT_SF_DIR, KGTM_INGEST_BATCH, KGTM_INGEST_FACTORS).
