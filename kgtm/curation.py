@@ -175,6 +175,7 @@ def incremental_curate(
     corpus_n_buckets: int | None = None,
     skip_guards: bool = False,
     _state_out: dict | None = None,
+    _plan_probes: dict | None = None,
 ) -> DataFrame:
     """Curate ONLY a newly-arrived batch against an already-curated corpus:
     ledger rows for the new docs, with EXACT full-run parity.
@@ -360,21 +361,32 @@ def incremental_curate(
             # pair with the batch are ever shuffled (hot rows self-exclude:
             # p's shingles are post-cap)
             probe_sh = p.select("shingle").distinct()
-            o_hit = (
-                corpus_flat.select("id", "shingle")
-                .join(F.broadcast(probe_sh), "shingle", "left_semi")
-                .localCheckpoint(eager=False)
+            o_hit_raw = corpus_flat.select("id", "shingle").join(
+                F.broadcast(probe_sh), "shingle", "left_semi"
             )
+            o_hit = o_hit_raw.localCheckpoint(eager=False)
             # owner corrections: stored docs owning a newly-hot shingle have
             # their stored post-cap size overcounted by exactly that many
             # rows. |newly-hot| is tiny (shingles cross the cap once), so
             # the lookup collects it and prunes to the buckets it hits.
-            owner_corr = (
+            owner_corr_raw = (
                 _pruned_flat_lookup(corpus_flat, newly_hot, corpus_n_buckets)
                 .groupBy("id")
                 .agg((-F.count(F.lit(1))).alias("corr"))
-                .localCheckpoint(eager=False)
             )
+            owner_corr = owner_corr_raw.localCheckpoint(eager=False)
+            if _plan_probes is not None:
+                # pre-checkpoint frames (checkpoints erase lineage from the
+                # final plan) so plan-shape tests can pin the O(batch)
+                # contract structurally — never consumed on the hot path
+                _plan_probes.update(
+                    {
+                        "o_hit": o_hit_raw,
+                        "old_tot": old_tot,
+                        "owner_corr": owner_corr_raw,
+                        "newly_hot": newly_hot,
+                    }
+                )
             batch_sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
             old_ids = o_hit.select("id").distinct()
             old_sizes = (

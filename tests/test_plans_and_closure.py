@@ -154,3 +154,139 @@ def test_sql_api_flagship_matches_dataframe(spark, events):
     ).select(*df_out.columns)
     assert sql_out.exceptAll(df_out).count() == 0
     assert df_out.exceptAll(sql_out).count() == 0
+
+
+def _final_section(plan: str) -> str:
+    """The executed (final) section of an AQE plan string — or the whole
+    string when the plan has not been finalized (no duplicate sections)."""
+    cut = plan.find("== Initial Plan ==")
+    return plan[:cut] if cut != -1 else plan
+
+
+def test_state_v2_append_plan_flat_scanned_once_no_shuffle(spark, documents, tmp_path):
+    """Structural pin of the O(batch) append contract (BENCH/INGEST.md): in
+    the v2 state path the stored shingle flat is read by exactly ONE parquet
+    scan, column-pruned to (id, shingle), filtered map-side by a broadcast
+    semi-join on the batch's shingle set — the flat itself is never shuffled
+    or aggregated — and the stored per-shingle df table is probed behind a
+    broadcast semi BEFORE its (tiny) per-shingle sum."""
+    from kgtm.curation import (
+        _read_state,
+        _resolve_ledger_commits,
+        incremental_curate,
+        persist_curated_corpus,
+        read_ledger,
+    )
+
+    old = documents.filter("doc_id < 400")
+    batch = documents.filter("doc_id >= 400 and doc_id < 450")
+    store = str(tmp_path / "store")
+    persist_curated_corpus(old, store, min_quality=0.45, jaccard_threshold=0.5)
+    st = _read_state(spark, store, _resolve_ledger_commits(spark, store))
+    assert st.doc_sizes is not None and st.hot is not None  # v2 tier
+    probes: dict = {}
+    incremental_curate(
+        None,
+        read_ledger(spark, store),
+        batch,
+        corpus_digests=st.digests,
+        corpus_flat=st.flat,
+        corpus_shingle_df=st.shingle_df,
+        corpus_doc_sizes=st.doc_sizes,
+        corpus_hot=st.hot,
+        corpus_n_buckets=st.n_buckets,
+        skip_guards=True,
+        _plan_probes=probes,
+    )
+
+    o_hit = _final_section(_plan(probes["o_hit"]))
+    # exactly ONE file scan in the whole subplan: the flat (the batch side
+    # is a checkpointed RDD) — and it reads only the two 8-byte columns
+    assert o_hit.count("FileScan parquet") == 1, o_hit
+    assert "ReadSchema: struct<id:bigint,shingle:bigint>" in o_hit, o_hit
+    # the filter is a broadcast LEFT SEMI (map-side) ...
+    assert "BroadcastHashJoin" in o_hit and "LeftSemi" in o_hit, o_hit
+    # ... and the flat is never hash-shuffled: the scan sits on the streamed
+    # side (before the build side's BroadcastExchange in the tree print),
+    # and every hashpartitioning exchange is INSIDE the build side (the
+    # O(batch) distinct over the batch's shingles)
+    build_at = min(
+        i
+        for i in (o_hit.find("BroadcastExchange"), o_hit.find("BroadcastQueryStage"))
+        if i != -1
+    )
+    assert o_hit.index("FileScan parquet") < build_at, o_hit
+    first_exchange = o_hit.find("Exchange hashpartitioning")
+    assert first_exchange == -1 or first_exchange > build_at, o_hit
+
+    old_tot = _final_section(_plan(probes["old_tot"]))
+    # two file scans: the df contributions + the stored hot set (anti side
+    # of the candidate filter); the flat is NOT among them
+    assert old_tot.count("FileScan parquet") == 2, old_tot
+    assert "ReadSchema: struct<shingle:bigint,df:bigint>" in old_tot, old_tot
+    # the broadcast semi restricts the df scan BELOW the partial sum — the
+    # aggregation never sees rows outside the batch's candidate shingles
+    assert "LeftSemi" in old_tot, old_tot
+    assert old_tot.index("partial_sum") < old_tot.index("LeftSemi"), old_tot
+
+
+def test_state_v2_newly_hot_owner_lookup_prunes_buckets(spark, tmp_path):
+    """When a shingle crosses the df cap mid-append, the owner-correction
+    lookup must read ONLY the sb= directory buckets the newly-hot shingles
+    hash to (partition pruning), not the whole stored flat."""
+    import re
+
+    from kgtm.curation import (
+        N_SHINGLE_BUCKETS,
+        _read_state,
+        _resolve_ledger_commits,
+        incremental_curate,
+        persist_curated_corpus,
+        read_ledger,
+    )
+    from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF
+
+    cap = DEFAULT_MAX_SHINGLE_DF
+    n_b_old = cap - 15
+    a, b = "alpha beta gamma", "delta epsilon zeta"
+    rows = []
+    for i in range(cap + 50):
+        body = f"{a} {b}" if i < n_b_old else a
+        rows.append((i, f"{body} u{i} v{i} w{i} x{i} y{i}"))
+    for j in range(30):
+        rows.append((10_000 + j, f"{b} bu{j} bv{j} bw{j} bx{j} by{j}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint(
+        eager=True
+    )
+    old = docs.filter(F.col("doc_id") < 10_000)
+    batch = docs.filter(F.col("doc_id") >= 10_000)
+    store = str(tmp_path / "store")
+    persist_curated_corpus(old, store, min_quality=0.0, jaccard_threshold=0.5)
+    st = _read_state(spark, store, _resolve_ledger_commits(spark, store))
+    probes: dict = {}
+    incremental_curate(
+        None,
+        read_ledger(spark, store),
+        batch,
+        min_quality=0.0,
+        corpus_digests=st.digests,
+        corpus_flat=st.flat,
+        corpus_shingle_df=st.shingle_df,
+        corpus_doc_sizes=st.doc_sizes,
+        corpus_hot=st.hot,
+        corpus_n_buckets=st.n_buckets,
+        skip_guards=True,
+        _plan_probes=probes,
+    )
+    hot_vals = [r[0] for r in probes["newly_hot"].collect()]
+    assert hot_vals  # B-phrase shingles cross the cap in this append
+
+    corr = _final_section(_plan(probes["owner_corr"]))
+    assert corr.count("FileScan parquet") == 1, corr
+    # the scan must carry the sb= bucket column in PartitionFilters
+    # (directory pruning) — an empty PartitionFilters would mean the lookup
+    # scans all N_SHINGLE_BUCKETS directories
+    m = re.search(r"PartitionFilters: \[([^\]]*)", corr)
+    assert m and "sb#" in m.group(1), corr
+    # and the newly-hot set hits fewer buckets than exist, so pruning is real
+    assert len({v % N_SHINGLE_BUCKETS for v in hot_vals}) < N_SHINGLE_BUCKETS
