@@ -14,6 +14,7 @@ Iceberg catalog when one is configured on the cluster — the contract
 
 from __future__ import annotations
 
+import copy
 import json
 import re
 import threading
@@ -31,6 +32,13 @@ from kgtm.metrics import MetricsCollector
 # collided and "unique seq" was unenforced; the legacy suffix form is still
 # READ for stores written by that version.)
 _MANIFEST_RE = re.compile(r"^(\d{10})(-[0-9a-f]+)?\.json$")
+
+#: parsed-manifest cache: uri -> ((mtime, length), manifest dict). Committed
+#: manifests are write-once (atomic rename), so a (mtime, length) match from
+#: listStatus makes the cached parse authoritative with zero extra reads.
+#: Entries are returned as deep copies so callers can never poison the cache.
+_MANIFEST_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
+_MANIFEST_CACHE_MAX = 65536
 
 
 def _manifest_names(c: dict) -> list[str]:
@@ -358,13 +366,41 @@ def list_commits(out_dir: str, spark: SparkSession | None = None) -> list[dict]:
         name = status.getPath().getName()
         if not _MANIFEST_RE.match(name):
             continue
+        # Committed manifests are IMMUTABLE (created by one atomic rename,
+        # never rewritten in place), so re-parsing every manifest on every
+        # listing is pure py4j round-trip waste — measured at ~100-150 ms
+        # per manifest-read chain, which made ledger reads O(total commits)
+        # in DRIVER latency (seconds at a 32-delta chain; BENCH/INGEST.md).
+        # Cache parsed manifests keyed by (uri, mtime, length) from the
+        # SAME listStatus (zero extra calls on a hit); the listing itself
+        # stays fresh, so new commits are always seen and expired ones drop
+        # out naturally. Caveat: a store whose rename OVERWRITES (POSIX
+        # local, S3A) could in principle replace a same-name manifest with
+        # different bytes inside one mtime tick — those stores already
+        # require LockCommitCoordinator for correctness (see
+        # RenameCommitCoordinator's docstring); the cache adds no new
+        # failure mode beyond that documented one.
+        key = status.getPath().toString()
+        stamp = (status.getModificationTime(), status.getLen())
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None and hit[0] == stamp:
+            commits.append(copy.deepcopy(hit[1]))
+            continue
         try:
-            commits.append(json.loads(_read_bytes(spark, _child(commits_dir, name))))
+            parsed = json.loads(_read_bytes(spark, _child(commits_dir, name)))
         except (ValueError, OSError, Py4JError):
             # truncated/corrupt manifest, or deleted after listStatus by a
             # concurrent expire (surfaces as a JVM FileNotFoundException
             # wrapped in a Py4JError): skip
             continue
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            # drop the oldest-inserted half; plain dicts preserve insertion
+            # order, and a long-lived driver touching many stores should
+            # not grow this without bound
+            for k in list(_MANIFEST_CACHE)[: _MANIFEST_CACHE_MAX // 2]:
+                del _MANIFEST_CACHE[k]
+        _MANIFEST_CACHE[key] = (stamp, copy.deepcopy(parsed))
+        commits.append(parsed)
     return sorted(commits, key=lambda c: c.get("seq", 0))
 
 

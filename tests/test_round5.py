@@ -568,3 +568,43 @@ def test_release_stale_ledger_claims(spark, documents, tmp_path):
 
     append_curated_batch(spark, store, new_docs=b2)
     assert read_ledger(spark, store).count() == 140
+
+
+def test_manifest_cache_fresh_and_unpoisonable(spark, tmp_path):
+    """The parsed-manifest cache (list_commits) must never go stale or get
+    poisoned: a new commit is visible on the very next listing, a mutated
+    returned dict does not leak into later calls, and an expired manifest
+    drops out of the listing."""
+    from kgtm.materialize import expire_commits, list_commits, write_table
+
+    store = str(tmp_path / "store")
+    df = spark.range(5).selectExpr("id", "'x' as source")
+    c1 = write_table(df, store, table="triples")
+    first = list_commits(store, spark)
+    assert [c["commit_id"] for c in first] == [c1["commit_id"]]
+
+    # visible immediately after the next commit (the listing stays fresh;
+    # only unchanged files skip re-parsing)
+    c2 = write_table(df, store, table="triples")
+    second = list_commits(store, spark)
+    assert {c["commit_id"] for c in second} == {c1["commit_id"], c2["commit_id"]}
+
+    # caller mutation cannot poison the cache (deep copies both ways)
+    second[0]["seq"] = 99_999
+    second[0].setdefault("replaces", []).append("bogus")
+    clean = list_commits(store, spark)
+    assert sorted(c["seq"] for c in clean) == sorted(c["seq"] for c in first + [c2])
+    assert all("bogus" not in c.get("replaces", []) for c in clean)
+
+    # an expired manifest disappears even though its parse is still cached
+    expire_commits(store, keep_last=1, spark=spark)
+    after = [c["commit_id"] for c in list_commits(store, spark)]
+    assert after == [c2["commit_id"]]
+
+    # cached path returns the same content as a cold parse
+    from kgtm import materialize as mat
+
+    warm = list_commits(store, spark)
+    mat._MANIFEST_CACHE.clear()
+    cold = list_commits(store, spark)
+    assert warm == cold
