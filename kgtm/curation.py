@@ -499,7 +499,9 @@ def incremental_curate(
     return _assemble_ledger(ledger, id_col, min_quality)
 
 
-def persist_ledger(ledger: DataFrame, out_dir: str, **curation_params) -> dict:
+def persist_ledger(
+    ledger: DataFrame, out_dir: str, coordinator=None, **curation_params
+) -> dict:
     """Commit a curation ledger SNAPSHOT into the manifest store
     (table='ledger', manifest ledger_kind='snapshot').
 
@@ -517,9 +519,49 @@ def persist_ledger(ledger: DataFrame, out_dir: str, **curation_params) -> dict:
     snapshot. The ledger_kind marker is what lets read_ledger resolve
     (newest snapshot + its deltas) and what makes the generic compact_table
     refuse to blind-union these commits.
+
+    Concurrency: a RE-curation snapshot (the store already has a ledger
+    chain) competes for the SAME successor claim as appends and compactions
+    (``ledger-succ-{head_commit_id}``), so a snapshot cannot slip into an
+    in-flight append's claim→commit window and silently orphan its delta —
+    the slower writer gets the recompute error instead of a lost batch. The
+    manifest records ``base_commit_id`` so release_stale_ledger_claims sees
+    the claim as fulfilled. The FIRST snapshot into an empty store has no
+    predecessor and takes no claim; two racing first snapshots both land and
+    the newer seq wins deterministically — safe because each snapshot is a
+    complete decision set, unlike a delta, which is meaningless off its base.
     """
+    from kgtm.materialize import claim_marker
+
+    spark = ledger.sparkSession
+    extra = None
+    try:
+        head = _resolve_ledger_commits(spark, out_dir)[-1]
+    except FileNotFoundError:
+        head = None  # first snapshot: nothing to serialize with
+    if head is not None:
+        if not claim_marker(
+            spark,
+            out_dir,
+            f"ledger-succ-{head['commit_id']}",
+            {"op": "snapshot", "base_seq": head["seq"]},
+            coordinator=coordinator,
+        ):
+            raise RuntimeError(
+                f"concurrent ledger commit: another writer holds the "
+                f"successor claim for chain head {head['commit_id']} — an "
+                "in-flight append/compaction/re-curation has landed or is "
+                "about to; re-run this snapshot afterwards, or run "
+                "release_stale_ledger_claims if the claimant crashed"
+            )
+        extra = {"base_commit_id": head["commit_id"]}
     return _commit_ledger_rows(
-        ledger, out_dir, kind="snapshot", curation_params=curation_params
+        ledger,
+        out_dir,
+        kind="snapshot",
+        curation_params=curation_params,
+        extra=extra,
+        coordinator=coordinator,
     )
 
 
@@ -774,11 +816,14 @@ def persist_curated_corpus(
     jaccard_threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    coordinator=None,
 ) -> dict:
     """Curate ``docs`` and commit the full result: ledger snapshot + the
     materialized corpus-side state (digests + shingle flat). Subsequent
     append_curated_batch calls then run entirely from the store — O(batch)
-    compute AND O(batch) reads, no old_docs required."""
+    compute AND O(batch) reads, no old_docs required. On a store that
+    already has a ledger chain this is a RE-curation and serializes with
+    in-flight appends/compactions via the successor claim (persist_ledger)."""
     ledger = curate_documents(
         docs,
         min_quality=min_quality,
@@ -787,7 +832,11 @@ def persist_curated_corpus(
         id_col=id_col,
     ).localCheckpoint(eager=True)
     c = persist_ledger(
-        ledger, out_dir, min_quality=min_quality, jaccard_threshold=jaccard_threshold
+        ledger,
+        out_dir,
+        coordinator=coordinator,
+        min_quality=min_quality,
+        jaccard_threshold=jaccard_threshold,
     )
     _write_state(_state_frames(docs, ledger, text_col, id_col), out_dir, c["commit_id"])
     return c
@@ -1123,9 +1172,10 @@ def compact_ledger(spark, out_dir: str, coordinator=None) -> dict:
     append from the chain head (``ledger-succ-{head_commit_id}``), so a
     delta racing the compaction loses the CAS instead of being permanently
     hidden (its seq would fall below the compacted snapshot's and
-    ``replaces`` would not list it). A concurrent full RE-CURATION snapshot
-    is outside the claim protocol (snapshots depend on no base) — schedule
-    re-curations and compactions from one maintenance writer.
+    ``replaces`` would not list it). RE-curation snapshots compete for the
+    same claim too (persist_ledger claims the head's successor whenever a
+    chain already exists), so all three writer kinds — append, compaction,
+    re-curation — serialize on one token per chain head.
     """
     from kgtm.materialize import claim_marker, list_commits
 

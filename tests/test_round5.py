@@ -608,3 +608,85 @@ def test_manifest_cache_fresh_and_unpoisonable(spark, tmp_path):
     mat._MANIFEST_CACHE.clear()
     cold = list_commits(store, spark)
     assert warm == cold
+
+
+# ---------------------------------------------------------------------------
+# re-curation snapshots serialize with appends (successor claim)
+# ---------------------------------------------------------------------------
+
+
+def test_recuration_snapshot_serializes_with_appends(spark, documents, tmp_path):
+    """A full RE-curation snapshot on a chained store competes for the same
+    ``ledger-succ-{head}`` claim as appends/compactions: it refuses while an
+    in-flight append holds the head's claim (no silently orphaned delta),
+    lands with ``base_commit_id`` once the claim is free (so the claim reads
+    as fulfilled and is never stale-released), and supersedes the old chain.
+    The FIRST snapshot into an empty store takes no claim."""
+    from kgtm.curation import (
+        _resolve_ledger_commits,
+        append_curated_batch,
+        curate_documents,
+        persist_curated_corpus,
+        persist_ledger,
+        read_ledger,
+        release_stale_ledger_claims,
+    )
+    from kgtm.materialize import (
+        claim_marker,
+        delete_claim_marker,
+        list_claim_markers,
+    )
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 100)
+    persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+    # first snapshot: empty store at commit time → no successor claim taken
+    assert list_claim_markers(store, spark) == {}
+
+    b1 = documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    append_curated_batch(spark, store, new_docs=b1)
+    head = _resolve_ledger_commits(spark, store)[-1]
+
+    # an in-flight append holds the head's successor claim: the re-curation
+    # must refuse instead of landing a snapshot that orphans the delta
+    assert claim_marker(
+        spark, store, f"ledger-succ-{head['commit_id']}", {"op": "append"}
+    )
+    full = documents.filter(F.col("doc_id") < 120)
+    releg = curate_documents(full, min_quality=0.99).localCheckpoint(eager=True)
+    with pytest.raises(RuntimeError, match="successor claim"):
+        persist_ledger(releg, store, min_quality=0.99, jaccard_threshold=0.5)
+    delete_claim_marker(store, f"ledger-succ-{head['commit_id']}", spark)
+
+    # claim free → the re-curation lands as the head's sole successor
+    # (persist_curated_corpus = the full re-curation path: ledger snapshot
+    # through the SAME persist_ledger claim + fresh state tables, so later
+    # appends keep running in state mode)
+    c = persist_curated_corpus(
+        full, store, min_quality=0.99, jaccard_threshold=0.5
+    )
+    chain = _resolve_ledger_commits(spark, store)
+    assert [x["commit_id"] for x in chain] == [c["commit_id"]]
+    assert c["base_commit_id"] == head["commit_id"]
+    # fulfilled claim: never stale-released, and a THIRD writer from the old
+    # head loses the CAS outright
+    assert release_stale_ledger_claims(spark, store, min_age_ms=0) == []
+    assert not claim_marker(
+        spark, store, f"ledger-succ-{head['commit_id']}", {"op": "append"}
+    )
+
+    # the snapshot is the full decision set under its own params
+    led = read_ledger(spark, store)
+    assert led.count() == 120
+    twin = curate_documents(full, min_quality=0.99)
+    cols = sorted(twin.columns)
+    led, twin = led.select(*cols), twin.select(*cols)
+    assert (
+        led.exceptAll(twin).count() == 0 and twin.exceptAll(led).count() == 0
+    )
+
+    # life goes on: the next append bases on the re-curation snapshot
+    b2 = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    d2 = append_curated_batch(spark, store, new_docs=b2, min_quality=0.99)
+    assert d2["base_commit_id"] == c["commit_id"]
+    assert read_ledger(spark, store).count() == 140
