@@ -442,3 +442,78 @@ def run_windowed_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def reconcile_neardup_survivors(
+    survivors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    n: int = 3,
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Batch completeness backstop for streaming_minhash_dedup — the
+    "stragglers are caught by the batch pass" promise in that docstring,
+    made an actual operator instead of advice.
+
+    The stream's single-band key trades recall for bounded state: a true
+    near-dup pair survives ingestion whenever its one band disagrees
+    (P(miss | Jaccard J) = 1 - J^rows_per_band) or the two docs arrive
+    farther apart than the watermark. This job closes the gap offline: run
+    the FULL multi-band LSH with exact Jaccard verification
+    (dedup.minhash_lsh_pairs, verify="exact") over the materialized
+    survivor table, cluster transitively (dedup.dedup_clusters'
+    large-star/small-star components), and emit one decision row per doc.
+
+    Survivor pick = earliest (ts, id) per cluster — the same first-arrival-
+    wins contract the stream applies within a band key, extended across the
+    pairs it missed (min-id alone would be wrong here: ingest ids need not
+    be arrival-ordered). ``ts_col`` must be non-NULL — it is the stream's
+    watermark column, which Structured Streaming already requires.
+
+    verify="exact" means the backstop can never false-drop: banding only
+    risks recall, and every candidate pair is re-checked against true
+    n-gram Jaccard before it can merge clusters — so applying the emitted
+    deletes is safe, and re-running the job after applying them is a no-op
+    (each cluster keeps exactly its earliest row).
+
+    Returns one row per input doc:
+      (id_col, ts_col, cluster_id, keep_id, keep) — ``keep=false`` rows are
+    the retro-deletes; ``keep_id`` names the cluster representative kept.
+
+    100 TB shape: inherits minhash_lsh_pairs' candidate-generation bounds
+    (O(rows x bands) band rows, hot-bucket guard on NULL signatures) and
+    the O(log n)-round component algorithm; the only addition is one
+    cluster-keyed aggregation to pick winners. Run it per ingest epoch over
+    the epoch's survivor partition plus the in-watermark tail of the prior
+    epoch — pairs wholly inside an already-reconciled prefix are rediscovered
+    but resolve to the same winner (idempotence above).
+    """
+    from pyspark.sql.window import Window
+
+    from kgtm.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        survivors,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        threshold=threshold,
+        verify="exact",
+    )
+    clusters = dedup_clusters(pairs, survivors.select(id_col), id_col=id_col)
+    arrivals = survivors.select(F.col(id_col).alias("id"), F.col(ts_col).alias("_ts"))
+    j = clusters.select("id", "cluster_id").join(arrivals, "id")
+    w = Window.partitionBy("cluster_id")
+    winner = F.min(F.struct(F.col("_ts"), F.col("id"))).over(w)
+    return j.select(
+        F.col("id").alias(id_col),
+        F.col("_ts").alias(ts_col),
+        "cluster_id",
+        winner["id"].alias("keep_id"),
+        (F.col("id") == winner["id"]).alias("keep"),
+    )

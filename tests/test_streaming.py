@@ -370,3 +370,86 @@ def test_streaming_minhash_dedup_stream_equals_batch(spark, tmp_path):
     assert len({base, ws_variant} & kept_texts) == 1
     assert None in kept_texts and "" in kept_texts and "yo" in kept_texts
     assert "n" in kept_texts  # length-prefixed fallback: no sentinel collision
+
+
+def test_reconcile_neardup_backstop(spark):
+    """The batch completeness backstop catches BOTH ways a true near-dup
+    pair survives streaming_minhash_dedup, deterministically:
+
+      * band miss: (a1, a2) are a one-word-edit pair with true 3-gram
+        Jaccard ≥ 0.8 whose single-band stream keys DIFFER (asserted below —
+        the planted property, not a probabilistic hope), so the stream keeps
+        both even when they arrive within the watermark;
+      * watermark expiry: (c1, c2) are byte-identical but 2 days apart, so
+        the stream's band-key state for c1 is long evicted when c2 arrives.
+
+    Reconcile must cluster each pair, keep the EARLIEST ts (not the min id —
+    a2 gets the smaller id on purpose to catch a min-id survivor pick), and
+    leave the distinct doc and sub-n short docs as keep=true singletons
+    (byte-identical short stragglers are batch exact_dedup's contract, not
+    this operator's — they have no shingles to band).
+
+    Idempotence: re-running reconcile over the kept rows is a no-op.
+    """
+    import datetime as dt
+
+    from kgtm.streaming import reconcile_neardup_survivors, with_minhash_band_key
+
+    t0 = dt.datetime(2024, 7, 1)
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four "
+        "five six seven eight nine ten eleven twelve thirteen fourteen"
+    )
+    variant = base.replace("three", "THREE9")  # one middle word of 40
+    distinct = (
+        "completely different content about spark shuffle partitioning and "
+        "broadcast joins in a large distributed aggregation pipeline today "
+        "with adaptive execution and skew handling across many executors "
+        "reading columnar files from object storage at petabyte scale now"
+    )
+    exact = "repeated straggler content that comes back two days later " * 3
+
+    rows = [
+        (10, base, t0),                                  # a1: earliest of pair A
+        (2, variant, t0 + dt.timedelta(minutes=1)),      # a2: SMALLER id, later ts
+        (3, exact, t0),                                  # c1
+        (4, exact, t0 + dt.timedelta(days=2)),           # c2: watermark straggler
+        (5, distinct, t0),                               # singleton
+        (6, "hi", t0),                                   # short: no shingles
+        (7, "hi", t0 + dt.timedelta(days=2)),            # short straggler (exact
+        #   dedup's job, NOT reconcile's: stays keep=true here)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+
+    # planted property: the pair's single-band STREAM keys differ (this is
+    # the deterministic stand-in for "the stream missed them")
+    keys = {
+        r.doc_id: r._nd_key
+        for r in with_minhash_band_key(docs, "text").select("doc_id", "_nd_key").collect()
+    }
+    assert keys[10] != keys[2], "pick a different edit word: band key collided"
+    assert keys[3] == keys[4]  # exact pair shares the key; watermark is the miss
+
+    out = reconcile_neardup_survivors(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 7
+
+    # pair A: earliest ts wins even though the other id is smaller
+    assert by_id[10].keep and by_id[10].keep_id == 10
+    assert not by_id[2].keep and by_id[2].keep_id == 10
+    assert by_id[2].cluster_id == by_id[10].cluster_id
+    # pair C: watermark straggler retro-deleted
+    assert by_id[3].keep and not by_id[4].keep and by_id[4].keep_id == 3
+    # singletons (incl. both short docs) all keep
+    for i in (5, 6, 7):
+        assert by_id[i].keep and by_id[i].keep_id == i
+
+    # idempotence: reconcile over the kept rows deletes nothing
+    kept_ids = [r.doc_id for r in out if r.keep]
+    again = reconcile_neardup_survivors(
+        docs.filter(F.col("doc_id").isin(kept_ids))
+    ).collect()
+    assert all(r.keep for r in again)
+    assert {r.doc_id for r in again} == set(kept_ids)
