@@ -490,13 +490,18 @@ def _gate_store(prefix: str) -> str:
     """
     import os
     import uuid
+    from urllib.parse import urlparse
 
     root = os.environ.get(
         "KGTM_GATE_STORE_ROOT",
         str(Path(__file__).resolve().parent / "spark-warehouse" / "gate_stores"),
     )
     path = f"{root.rstrip('/')}/{prefix}-{uuid.uuid4().hex[:8]}"
-    os.makedirs(path, exist_ok=True)
+    if urlparse(path).scheme in ("", "file"):
+        # only local paths need (or tolerate) os.makedirs — on an s3a:// or
+        # hdfs:// root it would create a junk LOCAL "s3a:/..." tree; remote
+        # stores are created by the store layer's own Hadoop-FS writes
+        os.makedirs(path.removeprefix("file:"), exist_ok=True)
     return path
 
 
@@ -506,6 +511,21 @@ def _rm_store(path: str) -> None:
 
     if urlparse(path).scheme in ("", "file"):
         shutil.rmtree(path.removeprefix("file:"), ignore_errors=True)
+        return
+    # remote roots (s3a://, hdfs://): delete through the same Hadoop
+    # FileSystem API the store layer writes with — a scheme-gated no-op
+    # here would leak one store per gate/bench invocation (the round-3
+    # leak this helper exists to prevent)
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    try:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        pass  # cleanup is best-effort, never fails the gate query
 
 
 def _q_curation_ledger_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

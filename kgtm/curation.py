@@ -22,6 +22,7 @@ idea over documents.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -607,6 +608,22 @@ STATE_TABLES = (
 )
 _STATE_TABLES_V1 = STATE_TABLES[:3]
 
+#: DDL schemas of the state tables AS READ BACK (data columns + the sb/commit
+#: partition columns partition discovery would add) — the read-side fallback
+#: for commit dirs that hold ZERO data files: a partitionBy() write of an
+#: empty contribution (e.g. a re-curation whose min_quality keeps no docs)
+#: emits only _SUCCESS, and a parquet read over nothing-but-such-dirs cannot
+#: infer a schema. The contribution is legitimately empty, so the read
+#: substitutes a typed empty frame instead of failing or falling back to
+#: derive mode.
+_STATE_READ_SCHEMAS = {
+    "ledger_digests": "dg string, commit string",
+    "ledger_shingles": "id bigint, shingle bigint, sb int, commit string",
+    "ledger_shingle_df": "shingle bigint, df bigint, sb int, commit string",
+    "ledger_doc_sizes": "id bigint, n_sh bigint, commit string",
+    "ledger_hot": "shingle bigint, commit string",
+}
+
 #: Directory-bucket count for the shingle-keyed state tables
 #: (ledger_shingles / ledger_shingle_df are partitioned by
 #: sb = pmod(shingle, N)). Pruning wins come from SMALL probe sets — the
@@ -723,6 +740,7 @@ def _write_state(
     tables are directory-bucketed by sb = pmod(shingle, N_SHINGLE_BUCKETS)
     (one file per bucket via the pre-write repartition) so small-shingle-set
     lookups (_pruned_flat_lookup) prune to the buckets they hit."""
+    from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF
     from kgtm.materialize import write_table
 
     for table in STATE_TABLES:
@@ -732,6 +750,12 @@ def _write_state(
         manifest: dict = {
             "ledger_kind": "state",
             "for_ledger_commit": for_ledger_commit,
+            # The df cap is baked into these tables' VALUES (hot membership,
+            # post-cap doc sizes), not just the code path: a build running
+            # with a different cap cannot consume them (accretion invariant
+            # breaks both ways). Stamp it so _read_state can refuse on
+            # drift, the same treatment shingle_buckets gets for pruning.
+            "max_shingle_df": DEFAULT_MAX_SHINGLE_DF,
         }
         if replaces and replaces.get(table):
             manifest["replaces"] = replaces[table]
@@ -757,6 +781,41 @@ def _write_state(
         )
 
 
+def _live_state_commits(
+    commits: list[dict],
+    tables,
+    want: set[str] | None = None,
+) -> dict[str, list[dict]]:
+    """Live (unreplaced) state-commit MANIFESTS per table, optionally
+    restricted to contributions tagged to ledger commits in ``want``. The
+    ONE definition of which state commits count, shared by _read_state /
+    _state_coverage (selection) and upgrade_to_state / compact_ledger /
+    persist_curated_corpus (the ``replaces`` maps their rewrites pass to
+    _write_state) — so the rule cannot drift between readers and rewriters."""
+    out: dict[str, list[dict]] = {}
+    for table in tables:
+        tcs = [c for c in commits if c.get("table") == table]
+        replaced = {cid for c in tcs for cid in c.get("replaces", [])}
+        out[table] = [
+            c
+            for c in tcs
+            if c["commit_id"] not in replaced
+            and (want is None or c.get("for_ledger_commit") in want)
+        ]
+    return out
+
+
+def _state_replaces(
+    commits: list[dict], tables, want: set[str] | None = None
+) -> dict[str, list[str]]:
+    """_live_state_commits projected to the commit-id lists _write_state's
+    ``replaces`` parameter takes."""
+    return {
+        t: [c["commit_id"] for c in cs]
+        for t, cs in _live_state_commits(commits, tables, want).items()
+    }
+
+
 def _read_state(spark, out_dir: str, resolved: list[dict]) -> CorpusState | None:
     """State covering EXACTLY the resolved ledger commits, or None when any
     resolved commit lacks a CORE (v1) state commit (state was never written,
@@ -767,18 +826,35 @@ def _read_state(spark, out_dir: str, resolved: list[dict]) -> CorpusState | None
     incremental_curate uses the v1 counting passes instead."""
     from kgtm.materialize import list_commits, read_table
 
+    from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF
+
     want = {c["commit_id"] for c in resolved}
-    commits = list_commits(out_dir, spark)
+    live = _live_state_commits(list_commits(out_dir, spark), STATE_TABLES, want)
+    # df-cap drift guard: hot membership and post-cap doc sizes are FUNCTIONS
+    # of the cap the writer ran with; consuming them under a different cap
+    # silently diverges decisions from a full re-run (shingles in the gap
+    # between the two caps are never re-examined). Commits from before the
+    # stamp existed carry no key and are accepted (they were all written at
+    # the current default). Raise, don't fall back: this is a configuration
+    # error, and derive mode would diverge the same way.
+    stamped = {
+        c["max_shingle_df"]
+        for cs in live.values()
+        for c in cs
+        if "max_shingle_df" in c
+    }
+    if stamped - {DEFAULT_MAX_SHINGLE_DF}:
+        raise ValueError(
+            f"store state was materialized with max_shingle_df="
+            f"{sorted(stamped)} but this build runs "
+            f"{DEFAULT_MAX_SHINGLE_DF} — hot-set/doc-size contributions are "
+            "not reusable across cap changes; re-curate the corpus "
+            "(persist_curated_corpus) under the new cap"
+        )
     frames: dict[str, DataFrame] = {}
     n_buckets: set[int | None] = set()
     for table in STATE_TABLES:
-        tcs = [c for c in commits if c.get("table") == table]
-        replaced = {cid for c in tcs for cid in c.get("replaces", [])}
-        sel = [
-            c
-            for c in tcs
-            if c["commit_id"] not in replaced and c.get("for_ledger_commit") in want
-        ]
+        sel = live[table]
         if {c["for_ledger_commit"] for c in sel} != want:
             if table in _STATE_TABLES_V1:
                 return None
@@ -793,6 +869,16 @@ def _read_state(spark, out_dir: str, resolved: list[dict]) -> CorpusState | None
                 return None
             frames[table] = None
             continue
+        except AnalysisException as e:
+            if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
+            # every live dir exists but holds zero data files: partitionBy()
+            # of a zero-row contribution writes only _SUCCESS (verified —
+            # unpartitioned empty writes DO emit a schema-bearing file).
+            # The state is a real, empty contribution set; substitute the
+            # typed empty frame (_STATE_READ_SCHEMAS) so the commit filter
+            # and downstream joins run unchanged.
+            df = spark.createDataFrame([], _STATE_READ_SCHEMAS[table])
         frames[table] = df.filter(
             F.col("commit").isin([c["commit_id"] for c in sel])
         ).drop("commit")
@@ -824,6 +910,21 @@ def persist_curated_corpus(
     compute AND O(batch) reads, no old_docs required. On a store that
     already has a ledger chain this is a RE-curation and serializes with
     in-flight appends/compactions via the successor claim (persist_ledger)."""
+    from kgtm.materialize import list_commits
+
+    # Snapshot the commit listing BEFORE the ledger commit: every live state
+    # commit in it belongs to the superseded chain and must be marked
+    # ``replaces`` by the new state. Two reasons: (1) a pre-round-5 store's
+    # unbucketed ledger_shingles dirs cannot coexist with the new sb= layout
+    # under one table root (read_table passes every live commit dir to one
+    # parquet() call, and partition discovery refuses mixed structures — the
+    # re-curated store's next append would hard-fail instead of reading
+    # state); (2) dead contributions from the old chain would otherwise be
+    # scanned-and-filtered by every future _read_state forever. The pre-
+    # commit snapshot keeps this race-safe: a concurrent append landing
+    # after our snapshot commit tags its state to commits that cannot be in
+    # the pre listing.
+    pre = list_commits(out_dir, docs.sparkSession)
     ledger = curate_documents(
         docs,
         min_quality=min_quality,
@@ -838,7 +939,12 @@ def persist_curated_corpus(
         min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,
     )
-    _write_state(_state_frames(docs, ledger, text_col, id_col), out_dir, c["commit_id"])
+    _write_state(
+        _state_frames(docs, ledger, text_col, id_col),
+        out_dir,
+        c["commit_id"],
+        replaces=_state_replaces(pre, STATE_TABLES),
+    )
     return c
 
 
@@ -848,20 +954,12 @@ def _state_coverage(spark, out_dir: str, resolved: list[dict]) -> set[str]:
     from kgtm.materialize import list_commits
 
     want = {c["commit_id"] for c in resolved}
-    commits = list_commits(out_dir, spark)
-    covered = set()
-    for table in STATE_TABLES:
-        tcs = [c for c in commits if c.get("table") == table]
-        replaced = {cid for c in tcs for cid in c.get("replaces", [])}
-        sel = {
-            c["for_ledger_commit"]
-            for c in tcs
-            if c["commit_id"] not in replaced
-            and c.get("for_ledger_commit") in want
-        }
-        if sel == want:
-            covered.add(table)
-    return covered
+    live = _live_state_commits(list_commits(out_dir, spark), STATE_TABLES, want)
+    return {
+        t
+        for t, cs in live.items()
+        if {c["for_ledger_commit"] for c in cs} == want
+    }
 
 
 def upgrade_to_state(spark, out_dir: str, docs: DataFrame,
@@ -916,15 +1014,7 @@ def upgrade_to_state(spark, out_dir: str, docs: DataFrame,
     # pass the upgrade already pays, and `replaces` keeps the additive
     # contribution sums correct (replaced commits drop out of state reads).
     want = {rc["commit_id"] for rc in resolved}
-    all_commits = list_commits(out_dir, spark)
-    old_state = {
-        table: [
-            sc["commit_id"]
-            for sc in all_commits
-            if sc.get("table") == table and sc.get("for_ledger_commit") in want
-        ]
-        for table in covered
-    }
+    old_state = _state_replaces(list_commits(out_dir, spark), covered, want)
     frames = _state_frames(docs, ledger, text_col, id_col)
     _write_state(frames, out_dir, target["commit_id"], replaces=old_state)
     return target
@@ -1149,7 +1239,17 @@ def append_curated_batch(
     if max_deltas is not None:
         chain = _resolve_ledger_commits(spark, out_dir)
         if len(chain) - 1 >= max_deltas and chain[-1]["commit_id"] == c["commit_id"]:
-            compact_ledger(spark, out_dir, coordinator=coordinator)
+            # best-effort: THE APPEND ALREADY COMMITTED. A concurrent writer
+            # winning the successor claim first (RuntimeError), or a racing
+            # writer compacting/re-snapshotting in this window (ValueError:
+            # nothing to compact), must not make the caller believe the
+            # landed append failed — a retry would double-ingest the batch
+            # (or trip the monotone-id guard). The chain stays a little
+            # long until the next append crosses the threshold.
+            try:
+                compact_ledger(spark, out_dir, coordinator=coordinator)
+            except (RuntimeError, ValueError):
+                pass
     return c
 
 
@@ -1243,14 +1343,7 @@ def compact_ledger(spark, out_dir: str, coordinator=None) -> dict:
             frames["ledger_hot"] = (
                 state.hot.select("shingle").distinct().localCheckpoint(eager=True)
             )
-        old_state = {
-            table: [
-                sc["commit_id"]
-                for sc in all_commits
-                if sc.get("table") == table and sc.get("for_ledger_commit") in want
-            ]
-            for table in frames
-        }
+        old_state = _state_replaces(all_commits, frames, want)
         _write_state(frames, out_dir, c["commit_id"], replaces=old_state)
     return c
 
@@ -1289,7 +1382,16 @@ def release_stale_ledger_claims(
         if not name.startswith("ledger-succ-"):
             continue
         base_cid = name[len("ledger-succ-") :]
-        age = now_ms - payload.get("claimed_at_ms", 0)
+        claimed_at = payload.get("claimed_at_ms")
+        if claimed_at is None:
+            # unreadable/unparseable payload (list_claim_markers maps
+            # transient read errors to {}): SKIP, never release — treating
+            # it as infinitely old would break a seconds-old claim held by
+            # a live writer and re-open the double-append race this CAS
+            # exists to close. A truly corrupt marker stays for the
+            # operator; a transient error reads fine on the next sweep.
+            continue
+        age = now_ms - claimed_at
         if base_cid not in fulfilled and age >= min_age_ms:
             delete_claim_marker(out_dir, name, spark)
             released.append(name)

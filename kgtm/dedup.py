@@ -525,6 +525,11 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id")
 # ---------------------------------------------------------------------------
 
 
+#: first-come cap on the per-batch shingle-hash memo (~64 B/entry of hash
+#: payload plus the shingle string itself, so ~32-64 MB worst case)
+_SHINGLE_MEMO_MAX = 262_144
+
+
 def _hash_shingles64(sh, cache: dict | None = None) -> np.ndarray:
     """Full-width 64-bit shingle hashes: first 8 bytes (big-endian) of
     md5(shingle) — every one of the 64 SimHash bit positions gets real
@@ -558,7 +563,15 @@ def _hash_shingles64(sh, cache: dict | None = None) -> np.ndarray:
         h = cache.get(s)
         if h is None:
             h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-            cache[s] = h
+            if len(cache) < _SHINGLE_MEMO_MAX:
+                # bounded: an Arrow batch of diverse text can carry 10^6-10^7
+                # DISTINCT shingles, and an unbounded memo would hold every
+                # string for the batch's lifetime (hundreds of MB per python
+                # worker). The hot stop-phrase shingles that motivated the
+                # memo are by definition the first ones seen repeatedly, so
+                # a first-come cap keeps the measured ~3x md5 win while the
+                # long tail of singletons stays transient.
+                cache[s] = h
         out[i] = h
     return out
 

@@ -396,9 +396,12 @@ def list_commits(out_dir: str, spark: SparkSession | None = None) -> list[dict]:
         if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
             # drop the oldest-inserted half; plain dicts preserve insertion
             # order, and a long-lived driver touching many stores should
-            # not grow this without bound
+            # not grow this without bound. pop(k, None), not del: in-process
+            # concurrent writers (LockCommitCoordinator's supported mode)
+            # can both enter this branch over the same key snapshot, and the
+            # loser's del would KeyError out of a commit that already landed
             for k in list(_MANIFEST_CACHE)[: _MANIFEST_CACHE_MAX // 2]:
-                del _MANIFEST_CACHE[k]
+                _MANIFEST_CACHE.pop(k, None)
         _MANIFEST_CACHE[key] = (stamp, copy.deepcopy(parsed))
         commits.append(parsed)
     return sorted(commits, key=lambda c: c.get("seq", 0))

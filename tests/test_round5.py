@@ -690,3 +690,128 @@ def test_recuration_snapshot_serializes_with_appends(spark, documents, tmp_path)
     d2 = append_curated_batch(spark, store, new_docs=b2, min_quality=0.99)
     assert d2["base_commit_id"] == c["commit_id"]
     assert read_ledger(spark, store).count() == 140
+
+
+# ---------------------------------------------------------------------------
+# round-5 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_recuration_over_unbucketed_store_replaces_state(spark, documents, tmp_path):
+    """RE-curation over a pre-round-5 store (unbucketed v1 state) must mark
+    the old state commits replaced: read_table passes every live commit dir
+    of a table to ONE parquet() call, and partition discovery refuses mixed
+    sb=/flat layouts — without the replaces, the next append hard-fails on
+    an AnalysisException instead of reading state."""
+    from kgtm.curation import (
+        _STATE_TABLES_V1,
+        _read_state,
+        _resolve_ledger_commits,
+        _state_frames,
+        _write_state,
+        append_curated_batch,
+        curate_documents,
+        persist_curated_corpus,
+        persist_ledger,
+        read_ledger,
+    )
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 120).localCheckpoint(eager=True)
+    ledger = curate_documents(old, min_quality=0.4).localCheckpoint(eager=True)
+    c = persist_ledger(ledger, store, min_quality=0.4, jaccard_threshold=0.5)
+    frames = _state_frames(old, ledger, "text", "doc_id")
+    _write_state(
+        {t: frames[t] for t in _STATE_TABLES_V1},
+        store,
+        c["commit_id"],
+        n_buckets=None,  # round-4 layout: unbucketed, core tables only
+    )
+
+    # re-curation writes the round-5 bucketed layout beside the old dirs
+    persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+
+    # the state read must see ONLY the new commits (old ones replaced),
+    # and the subsequent append must run the state path, not crash
+    st = _read_state(spark, store, _resolve_ledger_commits(spark, store))
+    assert st is not None and st.n_buckets is not None and st.doc_sizes is not None
+
+    b1 = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    append_curated_batch(spark, store, new_docs=b1)
+    assert read_ledger(spark, store).count() == 140
+
+
+def test_append_auto_compaction_is_best_effort(spark, documents, tmp_path, monkeypatch):
+    """Auto-compaction losing its successor claim (or finding nothing to
+    compact after a racing writer) must NOT make the caller believe the
+    already-committed append failed — a retry would double-ingest."""
+    import kgtm.curation as cur
+
+    store = str(tmp_path / "store")
+    old = documents.filter(F.col("doc_id") < 100)
+    cur.persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
+
+    def losing_compact(*a, **k):
+        raise RuntimeError("another writer holds the successor claim")
+
+    monkeypatch.setattr(cur, "compact_ledger", losing_compact)
+    b1 = documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    c = cur.append_curated_batch(spark, store, new_docs=b1, max_deltas=1)
+    assert c["seq"]  # the append's own commit is returned, not an exception
+    assert cur.read_ledger(spark, store).count() == 120  # and it landed
+
+
+def test_release_skips_unreadable_claims(spark, documents, tmp_path):
+    """An unreadable/corrupt claim payload must be SKIPPED by the stale-claim
+    sweep, never treated as infinitely old — releasing a fresh claim held by
+    a live writer re-opens the double-append race the CAS closes."""
+    from pathlib import Path as P
+
+    from kgtm.curation import persist_curated_corpus, release_stale_ledger_claims
+    from kgtm.materialize import list_claim_markers
+
+    store = str(tmp_path / "store")
+    persist_curated_corpus(
+        documents.filter(F.col("doc_id") < 60), store,
+        min_quality=0.4, jaccard_threshold=0.5,
+    )
+    corrupt = P(store) / "_commits" / ".claim-ledger-succ-deadbeef.json"
+    corrupt.write_bytes(b"{not json")
+    # unfulfilled base + min_age_ms=0 would release any readable stale claim;
+    # the unreadable one must survive every sweep
+    assert release_stale_ledger_claims(spark, store, min_age_ms=0) == []
+    assert corrupt.exists()
+    assert list_claim_markers(store, spark).get("ledger-succ-deadbeef") == {}
+
+
+def test_state_refuses_df_cap_drift(spark, documents, tmp_path, monkeypatch):
+    """Hot membership and post-cap doc sizes are functions of the df cap the
+    writer ran with; a build running a different cap must be refused, not
+    silently diverge (the gap shingles would never be re-examined)."""
+    import kgtm.dedup as dd
+    from kgtm.curation import append_curated_batch, persist_curated_corpus
+
+    store = str(tmp_path / "store")
+    persist_curated_corpus(
+        documents.filter(F.col("doc_id") < 60), store,
+        min_quality=0.4, jaccard_threshold=0.5,
+    )
+    monkeypatch.setattr(dd, "DEFAULT_MAX_SHINGLE_DF", dd.DEFAULT_MAX_SHINGLE_DF + 1)
+    b1 = documents.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+    with pytest.raises(ValueError, match="max_shingle_df"):
+        append_curated_batch(spark, store, new_docs=b1)
+
+
+def test_shingle_hash_memo_is_bounded(monkeypatch):
+    """The per-batch md5 memo must not retain every distinct shingle of a
+    diverse Arrow batch; past the cap, hashes stay correct but transient."""
+    import numpy as np
+
+    import kgtm.dedup as dd
+
+    monkeypatch.setattr(dd, "_SHINGLE_MEMO_MAX", 2)
+    sh = [f"shingle number {i}" for i in range(6)]
+    cache: dict = {}
+    capped = dd._hash_shingles64(sh, cache)
+    assert len(cache) <= 2
+    assert np.array_equal(capped, dd._hash_shingles64(sh))  # uncached twin
