@@ -512,18 +512,19 @@ def _rm_store(path: str) -> None:
     if urlparse(path).scheme in ("", "file"):
         shutil.rmtree(path.removeprefix("file:"), ignore_errors=True)
         return
-    # remote roots (s3a://, hdfs://): delete through the same Hadoop
-    # FileSystem API the store layer writes with — a scheme-gated no-op
-    # here would leak one store per gate/bench invocation (the round-3
-    # leak this helper exists to prevent)
+    # remote roots (s3a://, hdfs://): delete through the SAME Hadoop
+    # FileSystem helper the store layer writes with (kgtm.materialize._fs —
+    # one implementation, no drift) — a scheme-gated no-op here would leak
+    # one store per gate/bench invocation (the round-3 leak this helper
+    # exists to prevent)
     spark = SparkSession.getActiveSession()
     if spark is None:
         return
     try:
-        jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
+        from kgtm.materialize import _fs
+
+        fs, jvm = _fs(spark, path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
     except Exception:
         pass  # cleanup is best-effort, never fails the gate query
 

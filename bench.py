@@ -225,8 +225,19 @@ def main() -> None:
     detail_path = Path(__file__).resolve().parent / "BENCH" / "DETAILS.json"
     detail_path.parent.mkdir(exist_ok=True)
     detail_path.write_text(json.dumps(detail, indent=2))
+    # the driver tail-captures ~2000 chars: degrade by dropping OPTIONAL
+    # fields until the line fits rather than asserting after the whole
+    # (expensive) run — every dropped field survives in BENCH/DETAILS.json
     line = json.dumps(out)
-    assert len(line) < 1800, f"final bench line too long for driver tail: {len(line)}"
+    if len(line) >= 1800:
+        out.pop("scaling", None)
+        line = json.dumps(out)
+    if len(line) >= 1800:
+        out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+        line = json.dumps(out)
+    if len(line) >= 1800:  # last resort: headline metric beats no JSON at all
+        out.pop("queries", None)
+        line = json.dumps(out)
     print(line)
     spark.stop()
 

@@ -22,6 +22,8 @@ idea over documents.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -912,19 +914,6 @@ def persist_curated_corpus(
     in-flight appends/compactions via the successor claim (persist_ledger)."""
     from kgtm.materialize import list_commits
 
-    # Snapshot the commit listing BEFORE the ledger commit: every live state
-    # commit in it belongs to the superseded chain and must be marked
-    # ``replaces`` by the new state. Two reasons: (1) a pre-round-5 store's
-    # unbucketed ledger_shingles dirs cannot coexist with the new sb= layout
-    # under one table root (read_table passes every live commit dir to one
-    # parquet() call, and partition discovery refuses mixed structures — the
-    # re-curated store's next append would hard-fail instead of reading
-    # state); (2) dead contributions from the old chain would otherwise be
-    # scanned-and-filtered by every future _read_state forever. The pre-
-    # commit snapshot keeps this race-safe: a concurrent append landing
-    # after our snapshot commit tags its state to commits that cannot be in
-    # the pre listing.
-    pre = list_commits(out_dir, docs.sparkSession)
     ledger = curate_documents(
         docs,
         min_quality=min_quality,
@@ -939,11 +928,42 @@ def persist_curated_corpus(
         min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,
     )
+    # The new state must mark the superseded chain's state commits
+    # ``replaces``. Two reasons: (1) a pre-round-5 store's unbucketed
+    # ledger_shingles dirs cannot coexist with the new sb= layout under one
+    # table root (read_table passes every live commit dir to one parquet()
+    # call, and partition discovery refuses mixed structures — the
+    # re-curated store's next append would hard-fail instead of reading
+    # state); (2) dead contributions from the old chain would otherwise be
+    # scanned-and-filtered by every future _read_state forever.
+    #
+    # List AFTER the ledger commit and key off the LIVE chain, not a
+    # pre-curation snapshot of the listing: curate_documents can run for
+    # hours, and an append landing inside that window would be absent from
+    # a pre listing — its state commits would stay live-but-unreplaced
+    # forever (exactly the leak / mixed-layout hard-fail this map exists to
+    # prevent). Post-commit the rule is exact: a live state commit tagged
+    # to a ledger commit OUTSIDE the now-resolved chain belongs to a
+    # superseded (or orphaned) chain and is replaced; a concurrent append
+    # that bases on OUR new snapshot is IN the resolved chain, so its state
+    # is never touched.
+    spark = docs.sparkSession
+    live_chain = {x["commit_id"] for x in _resolve_ledger_commits(spark, out_dir)}
+    stale = {
+        t: [
+            sc["commit_id"]
+            for sc in cs
+            if sc.get("for_ledger_commit") not in live_chain
+        ]
+        for t, cs in _live_state_commits(
+            list_commits(out_dir, spark), STATE_TABLES
+        ).items()
+    }
     _write_state(
         _state_frames(docs, ledger, text_col, id_col),
         out_dir,
         c["commit_id"],
-        replaces=_state_replaces(pre, STATE_TABLES),
+        replaces=stale,
     )
     return c
 
@@ -1239,17 +1259,27 @@ def append_curated_batch(
     if max_deltas is not None:
         chain = _resolve_ledger_commits(spark, out_dir)
         if len(chain) - 1 >= max_deltas and chain[-1]["commit_id"] == c["commit_id"]:
-            # best-effort: THE APPEND ALREADY COMMITTED. A concurrent writer
-            # winning the successor claim first (RuntimeError), or a racing
-            # writer compacting/re-snapshotting in this window (ValueError:
-            # nothing to compact), must not make the caller believe the
-            # landed append failed — a retry would double-ingest the batch
-            # (or trip the monotone-id guard). The chain stays a little
-            # long until the next append crosses the threshold.
+            # best-effort: THE APPEND ALREADY COMMITTED. Whatever fails in
+            # the compaction — a concurrent writer winning the successor
+            # claim first (RuntimeError), a racing compaction/re-snapshot
+            # (ValueError: nothing to compact), an executor lost mid-
+            # checkpoint (Py4JJavaError), a read hiccup — must not make the
+            # caller believe the landed append failed: a retry would
+            # double-ingest the batch (or trip the monotone-id guard), so
+            # catch Exception, not a curated subset. The chain stays a
+            # little long until the next append crosses the threshold (or
+            # an operator runs compact_ledger directly, where failures DO
+            # propagate).
             try:
                 compact_ledger(spark, out_dir, coordinator=coordinator)
-            except (RuntimeError, ValueError):
-                pass
+            except Exception:
+                warnings.warn(
+                    "post-append auto-compaction failed (the append itself "
+                    "committed); chain length stays above max_deltas until "
+                    "a later append or an explicit compact_ledger succeeds",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return c
 
 
@@ -1437,8 +1467,45 @@ def _resolve_ledger_commits(
             if c.get("base_seq") == head_seq:
                 chain.append(c)
                 head_seq = c["seq"]
-            # else: orphaned delta (stale base) — skipped by design
+            # else: orphaned delta (stale base) — skipped by design;
+            # orphaned_ledger_deltas() is the audit surface for these
     return chain
+
+
+def orphaned_ledger_deltas(
+    spark, out_dir: str, as_of: int | None = None
+) -> list[dict]:
+    """Audit surface for chain-linked resolution: live DELTA commits newer
+    than the resolved snapshot that are NOT in the resolved chain — batches
+    whose append returned success but whose rows are invisible to
+    read_ledger because their recorded ``base_seq`` no longer matches the
+    chain (a re-curation snapshot or racing writer slipped into the
+    claim→commit window the successor CAS cannot cover on overwrite-rename
+    filesystems). Silent-by-design in the read path (a mis-folded read
+    would be worse); NOT silent operationally: run this after any suspected
+    race — each returned manifest carries the delta's ``commit_id`` /
+    ``base_seq`` / ``n_rows``, and the recovery is to re-append the batch
+    from the current base. Deltas OLDER than the resolved snapshot are not
+    orphans (a re-curation supersedes them on purpose) and are excluded."""
+    from kgtm.materialize import list_commits
+
+    chain = _resolve_ledger_commits(spark, out_dir, as_of)
+    in_chain = {c["commit_id"] for c in chain}
+    snap_seq = chain[0]["seq"]
+    commits = [
+        c
+        for c in list_commits(out_dir, spark)
+        if c.get("table") == "ledger" and (as_of is None or c["seq"] <= as_of)
+    ]
+    replaced = {cid for c in commits for cid in c.get("replaces", [])}
+    return [
+        c
+        for c in commits
+        if c.get("ledger_kind") == "delta"
+        and c["commit_id"] not in replaced
+        and c["seq"] > snap_seq
+        and c["commit_id"] not in in_chain
+    ]
 
 
 def _read_resolved_ledger(spark, out_dir: str, resolved: list[dict]) -> DataFrame:

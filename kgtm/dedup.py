@@ -817,7 +817,7 @@ def contamination_pairs(
     n: int = 5,
     threshold: float = 0.6,
     strategy: str = "auto",
-    broadcast_max_items: int = 2_000_000,
+    broadcast_max_flat_rows: int = 8_000_000,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Training-data decontamination: (doc_id, bench_id, containment) for
@@ -846,9 +846,15 @@ def contamination_pairs(
         the capped shingle space (documented approximation — same contract
         as ngram_jaccard_pairs); with ``max_shingle_df=None`` both
         strategies are EXACT and provably identical (parity pytest).
-      - "auto" (default): count the benchmark's rows once (one cheap job on
-        the small-by-assumption side) and pick broadcast when it holds
-        under ``broadcast_max_items``, else shuffle.
+      - "auto" (default): count the benchmark's SHINGLE FLAT once (one
+        cheap job on the already-checkpointed small-by-assumption side) and
+        pick broadcast when it holds under ``broadcast_max_flat_rows``,
+        else shuffle. The gauge is flat rows, not benchmark items: what is
+        broadcast is items × n-grams-per-item (bench_id, shingle) rows, so
+        an item count would let a million long documents pass the gate and
+        OOM the executors — the exact ungraceful failure this parameter
+        exists to prevent. 8M flat rows ≈ 128 MB of key data, comfortably
+        under executor broadcast budgets.
 
     Shingles are n-gram DISTINCT sets (flat_shingles), so repeated phrases
     inside one doc count once.
@@ -863,8 +869,12 @@ def contamination_pairs(
         F.col("id").alias("bench_id"), "shingle"
     )
     if strategy == "auto":
-        n_bench = benchmark.count()
-        strategy = "broadcast" if n_bench <= broadcast_max_items else "shuffle"
+        # b_flat is checkpointed by flat_shingles, so this count runs over
+        # materialized rows the join reuses — no duplicated shingling work
+        n_flat = b_flat.count()
+        strategy = (
+            "broadcast" if n_flat <= broadcast_max_flat_rows else "shuffle"
+        )
     if max_shingle_df is not None:
         # cap over the COMBINED shingle space so a shingle dropped on one
         # side is dropped on both — |∩| and |shingles(bench)| stay consistent

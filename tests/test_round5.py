@@ -438,7 +438,7 @@ def test_contamination_broadcast_shuffle_parity(spark, documents):
     bc = contamination_pairs(docs, bench, strategy="broadcast", threshold=0.5)
     sh = contamination_pairs(docs, bench, strategy="shuffle", threshold=0.5)
     auto_sh = contamination_pairs(
-        docs, bench, strategy="auto", broadcast_max_items=1, threshold=0.5
+        docs, bench, strategy="auto", broadcast_max_flat_rows=1, threshold=0.5
     )
     got = snap(bc)
     assert len(got) > 0  # the planted substrings must actually hit
@@ -751,12 +751,17 @@ def test_append_auto_compaction_is_best_effort(spark, documents, tmp_path, monke
     old = documents.filter(F.col("doc_id") < 100)
     cur.persist_curated_corpus(old, store, min_quality=0.4, jaccard_threshold=0.5)
 
+    class _ExecutorLost(Exception):
+        """Stands in for Py4JJavaError/AnalysisException — the catch must be
+        Exception-wide, not a curated (RuntimeError, ValueError) subset."""
+
     def losing_compact(*a, **k):
-        raise RuntimeError("another writer holds the successor claim")
+        raise _ExecutorLost("executor lost during checkpoint")
 
     monkeypatch.setattr(cur, "compact_ledger", losing_compact)
     b1 = documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
-    c = cur.append_curated_batch(spark, store, new_docs=b1, max_deltas=1)
+    with pytest.warns(RuntimeWarning, match="auto-compaction failed"):
+        c = cur.append_curated_batch(spark, store, new_docs=b1, max_deltas=1)
     assert c["seq"]  # the append's own commit is returned, not an exception
     assert cur.read_ledger(spark, store).count() == 120  # and it landed
 
@@ -815,3 +820,106 @@ def test_shingle_hash_memo_is_bounded(monkeypatch):
     capped = dd._hash_shingles64(sh, cache)
     assert len(cache) <= 2
     assert np.array_equal(capped, dd._hash_shingles64(sh))  # uncached twin
+
+
+def test_recuration_replaces_state_landed_during_curation(
+    spark, documents, tmp_path, monkeypatch
+):
+    """An append landing INSIDE the re-curation's (potentially hours-long)
+    curate_documents window must still get its now-superseded state commits
+    marked replaced — the replaces map is derived from a post-commit listing
+    keyed off the live chain, not a pre-curation snapshot of the listing
+    (which would miss the racing append's commits forever)."""
+    import kgtm.curation as cur
+    from kgtm.materialize import list_commits
+
+    store = str(tmp_path / "store")
+    cur.persist_curated_corpus(
+        documents.filter(F.col("doc_id") < 100), store,
+        min_quality=0.4, jaccard_threshold=0.5,
+    )
+
+    real = cur.curate_documents
+    b1 = (
+        documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+        .localCheckpoint(eager=True)
+    )
+    fired = []
+
+    def racing(docs_arg, **kw):
+        if not fired:
+            fired.append(True)
+            # lands a delta + its state contributions mid-curation
+            cur.append_curated_batch(spark, store, new_docs=b1)
+        return real(docs_arg, **kw)
+
+    monkeypatch.setattr(cur, "curate_documents", racing)
+    full = documents.filter(F.col("doc_id") < 120)
+    c2 = cur.persist_curated_corpus(
+        full, store, min_quality=0.4, jaccard_threshold=0.5
+    )
+    assert fired  # the race actually happened
+
+    # every live state commit is tagged to the re-curation snapshot — the
+    # racing delta's contributions (and the old snapshot's) are replaced
+    live = cur._live_state_commits(list_commits(store, spark), cur.STATE_TABLES)
+    for table, cs in live.items():
+        assert {sc["for_ledger_commit"] for sc in cs} == {c2["commit_id"]}, table
+
+    # and the store keeps working on the state path
+    b2 = documents.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    cur.append_curated_batch(spark, store, new_docs=b2)
+    assert cur.read_ledger(spark, store).count() == 140
+
+
+def test_orphaned_ledger_deltas_audit(spark, documents, tmp_path):
+    """Chain-linked resolution silently skips a delta whose base_seq no
+    longer matches (by design — mis-folding would be worse), so there must
+    be an operational audit surface: orphaned_ledger_deltas returns exactly
+    the skipped deltas, and an intact chain returns none."""
+    import json as _json
+    from pathlib import Path as P
+
+    from kgtm.curation import (
+        append_curated_batch,
+        orphaned_ledger_deltas,
+        persist_curated_corpus,
+        read_ledger,
+    )
+
+    store = str(tmp_path / "store")
+    persist_curated_corpus(
+        documents.filter(F.col("doc_id") < 80), store,
+        min_quality=0.4, jaccard_threshold=0.5,
+    )
+    d1 = append_curated_batch(
+        spark, store,
+        new_docs=documents.filter(
+            (F.col("doc_id") >= 80) & (F.col("doc_id") < 100)
+        ),
+    )
+    d2 = append_curated_batch(
+        spark, store,
+        new_docs=documents.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+        ),
+    )
+    assert orphaned_ledger_deltas(spark, store) == []
+    assert read_ledger(spark, store).count() == 120
+
+    # simulate the overwrite-rename race: d2's recorded base is stale.
+    # The rewrite is out-of-band, so Hadoop's checksum sidecar must go too —
+    # LocalFileSystem is a ChecksumFileSystem, and a stale .crc makes
+    # list_commits treat the manifest as corrupt (skipped entirely), which
+    # would test nothing.
+    mpath = P(store) / "_commits" / f"{d2['seq']:010d}.json"
+    m = _json.loads(mpath.read_text())
+    assert m["commit_id"] == d2["commit_id"]
+    m["base_seq"] = d1["base_seq"]  # points at the snapshot, not d1
+    mpath.write_text(_json.dumps(m))
+    (mpath.parent / f".{mpath.name}.crc").unlink(missing_ok=True)
+
+    orphans = orphaned_ledger_deltas(spark, store)
+    assert [o["commit_id"] for o in orphans] == [d2["commit_id"]]
+    # the read drops exactly the orphan's batch, nothing else
+    assert read_ledger(spark, store).count() == 100
