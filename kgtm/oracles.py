@@ -1194,3 +1194,216 @@ def q_mention_contexts() -> str:
       FROM links l JOIN ctx c USING (conv_id, turn_idx)
       WHERE l.is_linked
     """
+
+
+def q_repetition_signals(
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    line_sep: str = "\n",
+) -> str:
+    """Value-checked twin of kgtm.repetition.repetition_signals (Gopher
+    repetition filters): duplicate-line fractions over trimmed non-empty
+    lowercased lines, top-n-gram char fraction with the (count, char
+    length, gram) lexicographic-max tie-break, and duplicate-n-gram
+    COVERAGE char fraction (union of covered word indices, no double
+    counting). Denominator for every n-gram fraction is the summed word
+    length (whitespace excluded); all fractions round to 6 dp, 0.0 when
+    the denominator is 0 — mirroring the Spark column expressions exactly.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    gram_sqls = [
+        f"""
+        SELECT doc_id, {n} AS n, s - 1 AS start,
+               array_to_string(words[s : s + {n - 1}], ' ') AS gram
+        FROM (SELECT doc_id, words, unnest(range(1, len(words) - {n} + 2)) AS s
+              FROM docs WHERE len(words) >= {n})
+        """
+        for n in ns
+    ]
+    grams_union = " UNION ALL ".join(gram_sqls)
+    top_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN top_chars END) AS top{n}" for n in top_ns
+    )
+    cov_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN cov_chars END) AS cov{n}" for n in dup_ns
+    )
+    top_fracs = ", ".join(
+        f"""CASE WHEN b.total_chars > 0
+             THEN round(coalesce(t.top{n}, 0)::DOUBLE / b.total_chars, 6)
+             ELSE 0.0 END AS top{n}_char_frac"""
+        for n in top_ns
+    )
+    cov_fracs = ", ".join(
+        f"""CASE WHEN b.total_chars > 0
+             THEN round(coalesce(c.cov{n}, 0)::DOUBLE / b.total_chars, 6)
+             ELSE 0.0 END AS dup{n}_char_frac"""
+        for n in dup_ns
+    )
+    return f"""
+      WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS words,
+               list_filter(
+                 list_transform(
+                   string_split_regex(coalesce(lower(text), ''), '{line_sep}'),
+                   l -> trim(l)),
+                 l -> l <> '') AS lines
+        FROM documents),
+      base AS (
+        SELECT doc_id,
+               CAST(len(words) AS INT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+                    AS BIGINT) AS total_chars,
+               CAST(len(lines) AS INT) AS n_lines,
+               CASE WHEN len(lines) > 0
+                 THEN round((len(lines) - len(list_distinct(lines)))::DOUBLE
+                            / len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+                 THEN round(
+                   (list_sum(list_transform(lines, l -> length(l)))
+                    - list_sum(list_transform(list_distinct(lines), l -> length(l))))::DOUBLE
+                   / list_sum(list_transform(lines, l -> length(l))), 6)
+                 ELSE 0.0 END AS dup_line_char_frac
+        FROM docs),
+      grams AS ({grams_union}),
+      gcnt AS (
+        SELECT doc_id, n, start, gram,
+               count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+        FROM grams),
+      top1 AS (
+        SELECT doc_id, n, cnt * glen AS top_chars FROM (
+          SELECT doc_id, n, cnt, length(gram) - (n - 1) AS glen, gram,
+                 row_number() OVER (
+                   PARTITION BY doc_id, n
+                   ORDER BY cnt DESC, length(gram) - (n - 1) DESC, gram DESC) AS rn
+          FROM (SELECT DISTINCT doc_id, n, gram, cnt FROM gcnt
+                WHERE n IN ({", ".join(str(n) for n in top_ns)}))
+        ) WHERE rn = 1),
+      tops AS (SELECT doc_id, {top_cols} FROM top1 GROUP BY doc_id),
+      wordtbl AS (
+        SELECT doc_id, i - 1 AS idx, length(words[i]) AS wlen
+        FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+              FROM docs WHERE len(words) > 0)),
+      covidx AS (
+        SELECT DISTINCT doc_id, n, idx FROM (
+          SELECT doc_id, n, unnest(range(start, start + n)) AS idx
+          FROM gcnt
+          WHERE cnt >= 2 AND n IN ({", ".join(str(n) for n in dup_ns)}))),
+      cov1 AS (
+        SELECT c.doc_id, c.n, sum(w.wlen) AS cov_chars
+        FROM covidx c JOIN wordtbl w ON w.doc_id = c.doc_id AND w.idx = c.idx
+        GROUP BY c.doc_id, c.n),
+      covs AS (SELECT doc_id, {cov_cols} FROM cov1 GROUP BY doc_id)
+      SELECT b.doc_id, b.n_words, b.total_chars, b.n_lines,
+             b.dup_line_frac, b.dup_line_char_frac,
+             {top_fracs},
+             {cov_fracs}
+      FROM base b
+      LEFT JOIN tops t USING (doc_id)
+      LEFT JOIN covs c USING (doc_id)
+    """
+
+
+def q_pii_signals() -> str:
+    """Value-checked twin of kgtm.pii.pii_signals: per-kind independent
+    regex hit counts on the original text. The patterns come from the SAME
+    PII_PATTERNS constants the Spark side compiles (Java-regex/RE2-common
+    subset — see kgtm.pii's portability contract)."""
+    from kgtm.pii import PII_KINDS, PII_PATTERNS
+
+    counts = [
+        f"len(regexp_extract_all(coalesce(text, ''), '{PII_PATTERNS[k][0]}'))"
+        for k in PII_KINDS
+    ]
+    cols = ", ".join(
+        f"CAST({c} AS BIGINT) AS n_{k}" for k, c in zip(PII_KINDS, counts)
+    )
+    total = " + ".join(counts)
+    return f"""
+      SELECT doc_id, {cols},
+             CAST({total} AS BIGINT) AS n_pii,
+             ({total}) > 0 AS has_pii
+      FROM documents
+    """
+
+
+def q_redact_pii() -> str:
+    """Value-checked twin of kgtm.pii.redact_pii: sequential whole-text
+    regexp_replace per kind in PII_KINDS order (DuckDB needs the 'g' flag;
+    Spark replaces all by default)."""
+    from kgtm.pii import PII_KINDS, PII_PATTERNS
+
+    expr = "coalesce(text, '')"
+    for k in PII_KINDS:
+        pat, tok = PII_PATTERNS[k]
+        expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+    return f"SELECT doc_id, text, {expr} AS text_redacted FROM documents"
+
+
+_DUCK_WORDS_CTE = r"""
+      docs AS (
+        SELECT doc_id,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\s+') END AS words
+        FROM documents)
+"""
+
+
+def q_chunk_token_windows(
+    window: int = 64, stride: int | None = None, drop_incomplete: bool = False
+) -> str:
+    """Value-checked twin of kgtm.packing.chunk_token_windows: per-document
+    token windows every `stride` tokens, 1-based inclusive list slicing
+    mirroring Spark's F.slice."""
+    if stride is None:
+        stride = window
+    slice_expr = f"words[j * {stride} + 1 : j * {stride} + {window}]"
+    keep = (
+        f"WHERE len({slice_expr}) = {window}" if drop_incomplete else ""
+    )
+    return f"""
+      WITH {_DUCK_WORDS_CTE},
+      wins AS (
+        SELECT doc_id, words,
+               unnest(range(0, (len(words) + {stride} - 1) // {stride})) AS j
+        FROM docs WHERE len(words) > 0)
+      SELECT doc_id, CAST(j AS INT) AS win_idx,
+             CAST(j * {stride} AS INT) AS start_tok,
+             CAST(len({slice_expr}) AS INT) AS n_tokens,
+             array_to_string({slice_expr}, ' ') AS chunk
+      FROM wins {keep}
+    """
+
+
+def q_pack_greedy(budget: int = 2048, n_shards: int = 8) -> str:
+    """Value-checked twin of kgtm.packing.pack_greedy: the same greedy
+    walk replayed as a recursive CTE — per shard, in doc_id order, a doc
+    opens a new pack exactly when the current pack is non-empty and would
+    overflow `budget`."""
+    new_pack = (
+        "w.pack_off + w.n_tokens > 0 "
+        f"AND w.pack_off + w.n_tokens + o.n_tokens > {budget}"
+    )
+    return rf"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, CAST(doc_id % {n_shards} AS INT) AS shard,
+               CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                    END AS BIGINT) AS n_tokens
+        FROM documents),
+      ord_ AS (
+        SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM toks),
+      walk AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               0::BIGINT AS pack_idx, 0::BIGINT AS pack_off
+        FROM ord_ WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN {new_pack} THEN w.pack_idx + 1 ELSE w.pack_idx END,
+               CASE WHEN {new_pack} THEN 0::BIGINT
+                    ELSE w.pack_off + w.n_tokens END
+        FROM walk w JOIN ord_ o ON o.shard = w.shard AND o.rn = w.rn + 1)
+      SELECT doc_id, shard, n_tokens, pack_idx, pack_off FROM walk
+    """

@@ -1,0 +1,258 @@
+"""LLM-data-prep operator coverage: Gopher repetition signals, PII
+detection/redaction, and token-window packing — each value-checked against
+a DuckDB twin (pytest-gated; the driver gate is capped at 50 queries) plus
+hand-planted invariants.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(parquet_docs: str | None = None, planted: pd.DataFrame | None = None):
+    con = duckdb.connect()
+    if parquet_docs is not None:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{parquet_docs}/documents.parquet')"
+        )
+    if planted is not None:
+        con.register("planted_df", planted)
+        con.execute("CREATE VIEW documents AS SELECT * FROM planted_df")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher filters)
+# ---------------------------------------------------------------------------
+
+REP_COLS = [
+    "doc_id", "n_words", "total_chars", "n_lines",
+    "dup_line_frac", "dup_line_char_frac",
+    "top2_char_frac", "top3_char_frac", "top4_char_frac",
+    "dup5_char_frac", "dup10_char_frac",
+]
+
+
+def _rep_rows(df):
+    from kgtm.repetition import repetition_signals
+
+    out = repetition_signals(df)
+    assert [c for c in out.columns] == REP_COLS
+    return sorted(tuple(r[c] for c in REP_COLS) for r in out.collect())
+
+
+def _rep_oracle_rows(con):
+    from kgtm import oracles
+
+    return sorted(
+        (int(d), int(nw), int(tc), int(nl), dlf, dlcf, t2, t3, t4, d5, d10)
+        for d, nw, tc, nl, dlf, dlcf, t2, t3, t4, d5, d10 in con.execute(
+            oracles.q_repetition_signals()
+        ).fetchall()
+    )
+
+
+def test_repetition_signals_matches_duckdb_twin_corpus(spark, documents):
+    got = _rep_rows(documents)
+    want = _rep_oracle_rows(_duck(parquet_docs=SF))
+    assert len(got) == documents.count() > 0
+    assert got == want
+
+
+def test_repetition_signals_planted(spark):
+    """Hand-computed Gopher signals on planted corners: alternating bigram
+    soup, overlapping duplicate 5-grams (coverage union, not double count),
+    duplicate lines, and the empty document."""
+    rows = [
+        (1, "a b a b a b"),
+        (2, "x y z x y z x y z w"),
+        (3, "Hello World\nhello world\nunique line"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r[0]: r for r in _rep_rows(df)}
+
+    # doc 1: top 2-gram "a b" x3, glen 2 -> 6/6 chars
+    assert got[1][REP_COLS.index("top2_char_frac")] == 1.0
+    assert got[1][REP_COLS.index("dup5_char_frac")] == 0.0  # both 5-grams unique
+    # doc 2: dup 5-grams cover word idx 0..8 of 10 one-char words
+    assert got[2][REP_COLS.index("dup5_char_frac")] == 0.9
+    assert got[2][REP_COLS.index("n_words")] == 10
+    # doc 3: lines lowercase to a duplicate pair + one unique
+    assert got[3][REP_COLS.index("n_lines")] == 3
+    assert got[3][REP_COLS.index("dup_line_frac")] == round(1 / 3, 6)
+    assert got[3][REP_COLS.index("dup_line_char_frac")] == round(11 / 33, 6)
+    # doc 4: all-zero row, not a dropped row
+    assert got[4][1:] == (0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+    # and the DuckDB twin agrees on every planted corner
+    planted = pd.DataFrame(rows, columns=["doc_id", "text"])
+    assert sorted(got.values()) == _rep_oracle_rows(_duck(planted=planted))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+PII_ROWS = [
+    (1, "contact me at jane.doe+x@example.org or on 555-123-4567 ok"),
+    (2, "ssn 123-45-6789 and server 10.0.255.3 plus bob@test.io"),
+    (3, "no pii here just words and numbers 12345"),
+    (4, ""),
+    (5, "two mails a@b.co c@d.org and ip 1.2.3.4 and +1 555 987 6543"),
+]
+
+
+def test_pii_signals_planted_and_twin(spark):
+    from kgtm.pii import pii_signals
+
+    df = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4, r.n_pii, r.has_pii)
+        for r in pii_signals(df).collect()
+    }
+    assert got[1] == (1, 0, 1, 0, 2, True)
+    assert got[2] == (1, 1, 0, 1, 3, True)
+    assert got[3] == (0, 0, 0, 0, 0, False)
+    assert got[4] == (0, 0, 0, 0, 0, False)
+    # "+1 555 987 6543" -> the 3-3-4 run "555 987 6543" matches phone
+    assert got[5] == (2, 0, 1, 1, 4, True)
+
+    from kgtm import oracles
+
+    planted = pd.DataFrame(PII_ROWS, columns=["doc_id", "text"])
+    con = _duck(planted=planted)
+    want = {
+        int(d): (int(e), int(s), int(p), int(i), int(t), bool(h))
+        for d, e, s, p, i, t, h in con.execute(oracles.q_pii_signals()).fetchall()
+    }
+    assert got == want
+
+
+def test_redact_pii_planted_and_twin(spark):
+    from kgtm import oracles
+    from kgtm.pii import redact_pii
+
+    df = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    got = {r.doc_id: r.text_redacted for r in redact_pii(df).collect()}
+    assert got[1] == "contact me at <EMAIL> or on <PHONE> ok"
+    assert got[2] == "ssn <SSN> and server <IP> plus <EMAIL>"
+    assert got[3] == PII_ROWS[2][1]
+
+    planted = pd.DataFrame(PII_ROWS, columns=["doc_id", "text"])
+    con = _duck(planted=planted)
+    want = {
+        int(d): r for d, _, r in con.execute(oracles.q_redact_pii()).fetchall()
+    }
+    assert got == want
+
+
+def test_pii_twin_on_corpus(spark, documents):
+    """Row-for-row twin equality on the synthetic corpus (which carries no
+    PII — the zero rows must MATCH, not vanish)."""
+    from kgtm import oracles
+    from kgtm.pii import pii_signals
+
+    got = sorted(tuple(r) for r in pii_signals(documents).collect())
+    con = _duck(parquet_docs=SF)
+    want = sorted(
+        (int(d), int(e), int(s), int(p), int(i), int(t), bool(h))
+        for d, e, s, p, i, t, h in con.execute(oracles.q_pii_signals()).fetchall()
+    )
+    assert len(got) == documents.count() and got == want
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking + greedy packing
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_token_windows_planted(spark):
+    from kgtm.packing import chunk_token_windows
+
+    df = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.win_idx, r.start_tok, r.n_tokens, r.chunk)
+        for r in chunk_token_windows(df, window=4).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, 4, "w4 w5 w6 w7"),
+        (1, 2, 8, 2, "w8 w9"),
+        (2, 0, 0, 3, "a b c"),
+    ]
+    # overlapping stride + drop_incomplete
+    rows = sorted(
+        (r.doc_id, r.start_tok, r.chunk)
+        for r in chunk_token_windows(
+            df.where("doc_id = 2"), window=2, stride=1, drop_incomplete=True
+        ).collect()
+    )
+    assert rows == [(2, 0, "a b"), (2, 1, "b c")]
+
+
+def test_chunk_token_windows_twin_on_corpus(spark, documents):
+    from kgtm import oracles
+    from kgtm.packing import chunk_token_windows
+
+    got = sorted(
+        tuple(r) for r in chunk_token_windows(documents, window=7, stride=5).collect()
+    )
+    con = _duck(parquet_docs=SF)
+    want = sorted(
+        (int(d), int(w), int(s), int(n), c)
+        for d, w, s, n, c in con.execute(
+            oracles.q_chunk_token_windows(window=7, stride=5)
+        ).fetchall()
+    )
+    assert len(got) > 0 and got == want
+
+
+def test_pack_greedy_planted(spark):
+    """Greedy semantics: fill until overflow, oversize doc sits alone,
+    zero-token doc never opens a pack."""
+    from kgtm.packing import pack_greedy
+
+    rows = [
+        (0, "a b c"),                # 3 tokens -> pack 0 at off 0
+        (8, "d e f g"),              # 4: 3+4=7 <= 8 -> pack 0 at off 3
+        (16, "h i"),                 # 2: 7+2=9 > 8 -> pack 1 at off 0
+        (24, " ".join(["x"] * 11)),  # 11: 2+11 > 8 -> pack 2 (oversize, alone)
+        (32, ""),                    # 0: 11+0 > 8 -> pack 3 at off 0
+        (40, "tail doc"),            # 2: acc=0 -> stays in pack 3 at off 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.shard, r.n_tokens, r.pack_idx, r.pack_off)
+        for r in pack_greedy(df, budget=8, n_shards=8).collect()
+    }
+    # all doc_ids = 0 mod 8 -> one shard, one sequential walk
+    assert out[0] == (0, 3, 0, 0)
+    assert out[8] == (0, 4, 0, 3)
+    assert out[16] == (0, 2, 1, 0)
+    assert out[24] == (0, 11, 2, 0)
+    assert out[32] == (0, 0, 3, 0)
+    assert out[40] == (0, 2, 3, 0)
+
+
+def test_pack_greedy_twin_on_corpus(spark, documents):
+    from kgtm import oracles
+    from kgtm.packing import pack_greedy
+
+    got = sorted(tuple(r) for r in pack_greedy(documents, budget=256, n_shards=8).collect())
+    con = _duck(parquet_docs=SF)
+    want = sorted(
+        (int(d), int(s), int(n), int(p), int(o))
+        for d, s, n, p, o in con.execute(
+            oracles.q_pack_greedy(budget=256, n_shards=8)
+        ).fetchall()
+    )
+    assert len(got) == documents.count() and got == want

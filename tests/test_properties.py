@@ -6,7 +6,7 @@ are tested against in the parity tests.
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from kgtm.negotiate import (
@@ -168,6 +168,7 @@ def test_map_error_to_category_total(name):
 
 
 @given(st.lists(st.text(alphabet="lineabc 0123", max_size=20), max_size=60))
+@example(lines=[""] * 19 + ["0", "", ""])  # tail ending in an empty line
 def test_format_error_message_structure(lines):
     from kgtm.metrics import format_error_message
 
@@ -175,14 +176,17 @@ def test_format_error_message_structure(lines):
     out = format_error_message(msg)
     # The implementation (and the reference, parse_ontologies.py:20-24)
     # round-trips through str.splitlines(), which drops a trailing empty
-    # line — so the oracle must be msg.splitlines(), not the pre-join list.
+    # line — so the oracle must be msg.splitlines(), not the pre-join list,
+    # and the expected TAIL must take the same join/splitlines round-trip
+    # (a tail whose last line is empty loses it in `out` as well).
     msg_lines = msg.splitlines()
     if len(msg_lines) <= 20:
         assert out == msg
     else:
         out_lines = out.splitlines()
         assert out_lines[:10] == msg_lines[:10]
-        assert out_lines[-10:] == msg_lines[-10:]
+        expected_tail = "\n".join(msg_lines[-10:]).splitlines()
+        assert out_lines[len(out_lines) - len(expected_tail):] == expected_tail
         assert "............" in out
 
 
