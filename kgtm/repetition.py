@@ -8,12 +8,15 @@ tier alongside kgtm.textstats / kgtm.dedup, value-checked against DuckDB
 twins (kgtm.oracles.q_repetition_signals) rather than reference behavior.
 
 Scale shape (100 TB): line signals are per-row array expressions (zero
-shuffle). The n-gram signals use ONE exploded frame for all requested n
-values and ONE shuffle keyed (doc_id, n, gram) — keys are doc-local, so the
-shuffle is perfectly distributable and per-key state is bounded by the
-longest single document (pre-chunk pathological multi-GB docs upstream with
-kgtm.packing.chunk_token_windows). No UDF anywhere; the whole plan is
-codegen + hash aggregate.
+shuffle). The n-gram signals explode ONE frame for all requested n values
+and shuffle it ONCE, keyed (doc_id, n, gram), for the window count — keys
+are doc-local, so the shuffle is perfectly distributable and per-key state
+is bounded by the longest single document (pre-chunk pathological multi-GB
+docs upstream with kgtm.packing.chunk_token_windows). The counted frame is
+lazily checkpointed and feeds both consumers (top-gram argmax, dup-gram
+coverage), whose aggregates and joins carry doc-cardinality rows only —
+orders of magnitude smaller than the exploded grams. No UDF anywhere; the
+whole plan is codegen + hash aggregate.
 """
 
 from __future__ import annotations
