@@ -163,6 +163,34 @@ def main() -> None:
         )
     )
 
+    from kgtm.packing import chunk_token_windows
+    from kgtm.repetition import repetition_signals
+
+    rep = repetition_signals(docs)
+    sections.append(
+        (
+            "repetition_signals (Gopher repetition filters)",
+            "What to check: the exploded grams (the only corpus-scale "
+            "frame) shuffle exactly once — the window count keyed "
+            "(doc_id, n, gram), computed inside the lazy checkpoint and "
+            "shared by both consumers; every aggregate/join after it "
+            "carries doc-cardinality rows; the line signals are per-row "
+            "array expressions inside the first projection; no UDF in the "
+            "plan.",
+            formatted(rep),
+        )
+    )
+    sections.append(
+        (
+            "chunk_token_windows (token-window chunking)",
+            "What to check: a single Generate (posexplode of the window "
+            "index array) over a pure projection — zero exchanges, zero "
+            "UDF; the chunk slice/concat is codegen, so the operator fuses "
+            "into whatever scan precedes it.",
+            formatted(chunk_token_windows(docs, window=64)),
+        )
+    )
+
     out = ["# PLANS — physical plans of the headline operators\n"]
     out.append(
         "Generated by `python scripts/dump_plans.py` (sf0.01 input; plan\n"
