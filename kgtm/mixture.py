@@ -1,0 +1,116 @@
+"""Training-mixture shaping: deterministic domain-weighted sampling
+(fractional epochs per source, the "3 epochs of code, 0.3 of web" knob) and
+the Gopher threshold filter over the repetition signals.
+
+Reference parity note: no mixture surface exists in the reference proxy;
+this extends the LLM-data-pipeline tier, value-checked against DuckDB twins
+(kgtm.oracles.q_mixture_sample / q_repetition_filter).
+
+Determinism contract: the fractional-copy decision hashes ``{id}:{salt}``
+through md5 and compares the first 32 bits against a per-domain integer
+threshold ``floor(frac(weight) * 2^32)`` — integer compare, no float
+parity risk, reproducible bit-for-bit in DuckDB (and in any engine with
+md5). Same id + same salt => same decision forever; change the salt to
+draw an independent sample.
+
+Scale shape (100 TB): the weight table is a LITERAL CASE expression (a
+mixture config is dozens of domains, not millions) — zero joins, zero
+shuffle; the epoch fan-out is a posexplode bounded by ceil(max weight).
+The whole operator fuses into the scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mixture_sample", "repetition_filter", "REPETITION_DEFAULTS"]
+
+_HASH_SPACE = 1 << 32
+
+
+def _copy_plan(weights: dict[str, float], default_weight: float):
+    """domain -> (whole copies, fractional 32-bit threshold); weights must
+    be finite and >= 0."""
+    plan = {}
+    for dom, w in {**weights, "": default_weight}.items():
+        if not (w >= 0) or math.isinf(w):
+            raise ValueError(f"weight for {dom!r} must be finite and >= 0: {w}")
+        whole = int(math.floor(w))
+        thresh = int(math.floor((w - whole) * _HASH_SPACE))
+        plan[dom] = (whole, thresh)
+    return plan
+
+
+def hash32_col(id_col: Column, salt: str) -> Column:
+    """First 32 bits of md5('{id}:{salt}') as a long — the cross-engine
+    uniform hash (DuckDB: CAST('0x' || substr(md5(...), 1, 8) AS UBIGINT))."""
+    key = F.concat(id_col.cast("string"), F.lit(":" + salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Replicate each row ``n`` times with an ``epoch`` column (0..n-1),
+    where ``n = floor(w) + (hash32(id, salt) < frac(w) * 2^32)`` and ``w``
+    is the row's domain weight (``default_weight`` for unlisted domains).
+    Weight 0 drops the domain; weight 2.25 gives every row 2 epochs and a
+    deterministic 25% of rows a third."""
+    plan = _copy_plan(weights, default_weight)
+    dw, dt = plan[""]
+    whole = F.lit(dw)
+    thresh = F.lit(dt)
+    for dom, (w_whole, w_thresh) in plan.items():
+        if dom == "":
+            continue
+        is_dom = F.col(domain_col) == dom
+        whole = F.when(is_dom, F.lit(w_whole)).otherwise(whole)
+        thresh = F.when(is_dom, F.lit(w_thresh)).otherwise(thresh)
+    n_copies = whole + (hash32_col(F.col(id_col), salt) < thresh).cast("int")
+    epochs = F.when(n_copies <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n_copies - 1).cast("array<int>")
+    )
+    return df.select("*", F.explode(epochs).alias("epoch"))
+
+
+# Gopher (Rae et al. 2021, Table A1) repetition thresholds: a document is
+# kept when every signal is at or below its cap.
+REPETITION_DEFAULTS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup10_char_frac": 0.10,
+}
+
+
+def repetition_filter(
+    df: DataFrame,
+    thresholds: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, keep, <signals>) — the Gopher repetition gate: ``keep`` is
+    true when every configured signal is <= its threshold. Composes
+    kgtm.repetition.repetition_signals, so the plan cost is identical."""
+    from kgtm.repetition import repetition_signals
+
+    thresholds = REPETITION_DEFAULTS if thresholds is None else thresholds
+    sig = repetition_signals(df, text_col=text_col, id_col=id_col)
+    missing = set(thresholds) - set(sig.columns)
+    if missing:
+        raise ValueError(f"thresholds reference unknown signals: {sorted(missing)}")
+    keep = F.lit(True)
+    for col, cap in sorted(thresholds.items()):
+        keep = keep & (F.col(col) <= F.lit(float(cap)))
+    return sig.select("doc_id", keep.alias("keep"), *[c for c in sig.columns if c != "doc_id"])

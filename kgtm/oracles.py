@@ -1407,3 +1407,54 @@ def q_pack_greedy(budget: int = 2048, n_shards: int = 8) -> str:
         FROM walk w JOIN ord_ o ON o.shard = w.shard AND o.rn = w.rn + 1)
       SELECT doc_id, shard, n_tokens, pack_idx, pack_off FROM walk
     """
+
+
+def q_mixture_sample(
+    weights: dict[str, float],
+    domain_col: str = "source",
+    salt: str = "mix",
+    default_weight: float = 1.0,
+) -> str:
+    """Value-checked twin of kgtm.mixture.mixture_sample: the same per-row
+    copy count — floor(weight) whole epochs plus one more when the first
+    32 bits of md5('{id}:{salt}') fall under floor(frac(weight) * 2^32) —
+    replayed with DuckDB's md5 and an unnest(range(n)) fan-out."""
+    from kgtm.mixture import _copy_plan
+
+    plan = _copy_plan(weights, default_weight)
+    dw, dt = plan[""]
+    whole_cases = " ".join(
+        f"WHEN '{dom}' THEN {w}" for dom, (w, _) in plan.items() if dom != ""
+    )
+    thresh_cases = " ".join(
+        f"WHEN '{dom}' THEN {t}" for dom, (_, t) in plan.items() if dom != ""
+    )
+    h = f"CAST('0x' || substr(md5(doc_id::VARCHAR || ':{salt}'), 1, 8) AS UBIGINT)::BIGINT"
+    return f"""
+      WITH ncop AS (
+        SELECT *,
+               (CASE {domain_col} {whole_cases} ELSE {dw} END)
+               + (CASE WHEN {h} < (CASE {domain_col} {thresh_cases} ELSE {dt} END)
+                       THEN 1 ELSE 0 END) AS n_copies_
+        FROM documents)
+      SELECT * EXCLUDE (n_copies_, epoch_), CAST(epoch_ AS INT) AS epoch
+      FROM (SELECT *, unnest(range(0, n_copies_)) AS epoch_ FROM ncop)
+    """
+
+
+def q_repetition_filter(thresholds: dict[str, float] | None = None) -> str:
+    """Value-checked twin of kgtm.mixture.repetition_filter: the Gopher
+    keep-gate as a conjunction over the repetition-signals twin."""
+    from kgtm.mixture import REPETITION_DEFAULTS
+
+    thresholds = REPETITION_DEFAULTS if thresholds is None else thresholds
+    conds = " AND ".join(
+        f"{col} <= {float(cap)!r}" for col, cap in sorted(thresholds.items())
+    )
+    return f"""
+      SELECT doc_id, ({conds}) AS keep,
+             n_words, total_chars, n_lines, dup_line_frac, dup_line_char_frac,
+             top2_char_frac, top3_char_frac, top4_char_frac,
+             dup5_char_frac, dup10_char_frac
+      FROM ({q_repetition_signals()})
+    """

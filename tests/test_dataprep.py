@@ -256,3 +256,85 @@ def test_pack_greedy_twin_on_corpus(spark, documents):
         ).fetchall()
     )
     assert len(got) == documents.count() and got == want
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling + repetition filter
+# ---------------------------------------------------------------------------
+
+
+def _py_hash32(doc_id: int, salt: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8], 16)
+
+
+def test_mixture_sample_planted(spark):
+    """Copy counts match the floor+fractional-hash contract recomputed in
+    pure Python; weight 0 drops the domain; unlisted domains get the
+    default weight."""
+    from kgtm.mixture import mixture_sample
+
+    rows = [(i, f"text {i}", ["a", "b", "c", "d"][i % 4]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    weights = {"a": 2.25, "b": 0.5, "c": 0.0}
+    out = mixture_sample(df, weights, salt="s1", default_weight=1.0)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r.epoch)
+
+    frac_thresh = {"a": int(0.25 * 2**32), "b": int(0.5 * 2**32), "c": 0, "d": 0}
+    whole = {"a": 2, "b": 0, "c": 0, "d": 1}
+    for i, _, dom in rows:
+        n = whole[dom] + (1 if _py_hash32(i, "s1") < frac_thresh[dom] else 0)
+        assert sorted(got.get(i, [])) == list(range(n)), (i, dom, n)
+    # fractional sampling actually fired both ways somewhere
+    b_counts = {i: len(got.get(i, [])) for i, _, d in rows if d == "b"}
+    assert set(b_counts.values()) == {0, 1}
+
+    # same salt reproduces; a different salt redraws only the fractional part
+    again = mixture_sample(df, weights, salt="s1", default_weight=1.0)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_mixture_sample_twin_on_corpus(spark, documents):
+    from kgtm import oracles
+    from kgtm.mixture import mixture_sample
+
+    weights = {"src0": 2.25, "src1": 0.5, "src2": 0.0}
+    got = sorted(
+        tuple(r) for r in mixture_sample(documents, weights, salt="mix").collect()
+    )
+    con = _duck(parquet_docs=SF)
+    want = sorted(
+        tuple(int(v) if isinstance(v, (int,)) else v for v in row)
+        for row in con.execute(oracles.q_mixture_sample(weights)).fetchall()
+    )
+    assert len(got) > 0 and got == want
+
+
+def test_repetition_filter_planted_and_twin(spark, documents):
+    from kgtm import oracles
+    from kgtm.mixture import repetition_filter
+
+    # a pathologically repetitive doc is dropped, a clean one kept (the
+    # clean doc must be LONG — on a short doc a single occurrence of the
+    # longest bigram already exceeds the top2 cap, which is why Gopher
+    # pairs these caps with a minimum-length gate)
+    varied = " ".join(f"word{i:03d}" for i in range(80))
+    planted = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"), (2, varied)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.keep for r in repetition_filter(planted).collect()}
+    assert got == {1: False, 2: True}
+
+    full = sorted(tuple(r) for r in repetition_filter(documents).collect())
+    con = _duck(parquet_docs=SF)
+    want = sorted(tuple(r) for r in con.execute(oracles.q_repetition_filter()).fetchall())
+    assert len(full) == documents.count()
+    assert [(r[0], r[1]) for r in full] == [(int(r[0]), bool(r[1])) for r in want]
+
+    # unknown threshold key is refused, not silently ignored
+    with pytest.raises(ValueError, match="unknown signals"):
+        repetition_filter(planted, {"nope": 1.0}).collect()
