@@ -31,17 +31,19 @@ __all__ = ["mixture_sample", "repetition_filter", "REPETITION_DEFAULTS"]
 _HASH_SPACE = 1 << 32
 
 
+def _split_weight(dom, w: float) -> tuple[int, int]:
+    if not (w >= 0) or math.isinf(w):
+        raise ValueError(f"weight for {dom!r} must be finite and >= 0: {w}")
+    whole = int(math.floor(w))
+    return whole, int(math.floor((w - whole) * _HASH_SPACE))
+
+
 def _copy_plan(weights: dict[str, float], default_weight: float):
-    """domain -> (whole copies, fractional 32-bit threshold); weights must
-    be finite and >= 0."""
-    plan = {}
-    for dom, w in {**weights, "": default_weight}.items():
-        if not (w >= 0) or math.isinf(w):
-            raise ValueError(f"weight for {dom!r} must be finite and >= 0: {w}")
-        whole = int(math.floor(w))
-        thresh = int(math.floor((w - whole) * _HASH_SPACE))
-        plan[dom] = (whole, thresh)
-    return plan
+    """(domain -> (whole copies, fractional 32-bit threshold), default pair).
+    The default is returned separately so an explicit weight for any real
+    domain value — including the empty string — is never clobbered."""
+    plan = {dom: _split_weight(dom, w) for dom, w in weights.items()}
+    return plan, _split_weight("<default>", default_weight)
 
 
 def hash32_col(id_col: Column, salt: str) -> Column:
@@ -63,18 +65,20 @@ def mixture_sample(
     where ``n = floor(w) + (hash32(id, salt) < frac(w) * 2^32)`` and ``w``
     is the row's domain weight (``default_weight`` for unlisted domains).
     Weight 0 drops the domain; weight 2.25 gives every row 2 epochs and a
-    deterministic 25% of rows a third."""
-    plan = _copy_plan(weights, default_weight)
-    dw, dt = plan[""]
+    deterministic 25% of rows a third. A null id never draws the
+    fractional epoch (it keeps its floor(w) whole copies), matching the
+    DuckDB twin's CASE semantics."""
+    plan, (dw, dt) = _copy_plan(weights, default_weight)
     whole = F.lit(dw)
     thresh = F.lit(dt)
     for dom, (w_whole, w_thresh) in plan.items():
-        if dom == "":
-            continue
         is_dom = F.col(domain_col) == dom
         whole = F.when(is_dom, F.lit(w_whole)).otherwise(whole)
         thresh = F.when(is_dom, F.lit(w_thresh)).otherwise(thresh)
-    n_copies = whole + (hash32_col(F.col(id_col), salt) < thresh).cast("int")
+    frac_hit = F.coalesce(
+        (hash32_col(F.col(id_col), salt) < thresh).cast("int"), F.lit(0)
+    )
+    n_copies = whole + frac_hit
     epochs = F.when(n_copies <= 0, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(0), n_copies - 1).cast("array<int>")
     )

@@ -1241,9 +1241,7 @@ def q_repetition_signals(
     )
     return f"""
       WITH docs AS (
-        SELECT doc_id,
-               CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
-                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS words,
+        SELECT doc_id, {_DUCK_WORDS_EXPR} AS words,
                list_filter(
                  list_transform(
                    string_split_regex(coalesce(lower(text), ''), '{line_sep}'),
@@ -1341,11 +1339,17 @@ def q_redact_pii() -> str:
     return f"SELECT doc_id, text, {expr} AS text_redacted FROM documents"
 
 
-_DUCK_WORDS_CTE = r"""
+# The one tokenization contract shared by every words-based twin (the
+# DuckDB mirror of kgtm.textstats.words_col_guarded): trim+lower+split on
+# \s+, empty array for blank/null text.
+_DUCK_WORDS_EXPR = (
+    r"CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[] "
+    r"ELSE string_split_regex(trim(lower(text)), '\s+') END"
+)
+
+_DUCK_WORDS_CTE = f"""
       docs AS (
-        SELECT doc_id,
-               CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
-                    ELSE string_split_regex(trim(lower(text)), '\s+') END AS words
+        SELECT doc_id, {_DUCK_WORDS_EXPR} AS words
         FROM documents)
 """
 
@@ -1387,10 +1391,10 @@ def q_pack_greedy(budget: int = 2048, n_shards: int = 8) -> str:
     )
     return rf"""
       WITH RECURSIVE toks AS (
-        SELECT doc_id, CAST(doc_id % {n_shards} AS INT) AS shard,
-               CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                    ELSE len(string_split_regex(trim(lower(text)), '\s+'))
-                    END AS BIGINT) AS n_tokens
+        SELECT doc_id,
+               -- ((x % n) + n) % n mirrors Spark's pmod for negative ids
+               CAST(((doc_id % {n_shards}) + {n_shards}) % {n_shards} AS INT) AS shard,
+               CAST(len({_DUCK_WORDS_EXPR}) AS BIGINT) AS n_tokens
         FROM documents),
       ord_ AS (
         SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
@@ -1421,14 +1425,13 @@ def q_mixture_sample(
     replayed with DuckDB's md5 and an unnest(range(n)) fan-out."""
     from kgtm.mixture import _copy_plan
 
-    plan = _copy_plan(weights, default_weight)
-    dw, dt = plan[""]
-    whole_cases = " ".join(
-        f"WHEN '{dom}' THEN {w}" for dom, (w, _) in plan.items() if dom != ""
-    )
-    thresh_cases = " ".join(
-        f"WHEN '{dom}' THEN {t}" for dom, (_, t) in plan.items() if dom != ""
-    )
+    plan, (dw, dt) = _copy_plan(weights, default_weight)
+
+    def q(dom: str) -> str:  # SQL string-literal escape for domain names
+        return "'" + dom.replace("'", "''") + "'"
+
+    whole_cases = " ".join(f"WHEN {q(dom)} THEN {w}" for dom, (w, _) in plan.items())
+    thresh_cases = " ".join(f"WHEN {q(dom)} THEN {t}" for dom, (_, t) in plan.items())
     h = f"CAST('0x' || substr(md5(doc_id::VARCHAR || ':{salt}'), 1, 8) AS UBIGINT)::BIGINT"
     return f"""
       WITH ncop AS (

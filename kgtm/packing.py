@@ -21,15 +21,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgtm.textstats import token_count_col
+from kgtm.textstats import token_count_col, words_col_guarded
 
 __all__ = ["chunk_token_windows", "pack_greedy"]
-
-
-def _words_guarded(text: Column) -> Column:
-    return F.when(
-        F.coalesce(F.trim(text), F.lit("")) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.lower(text)), r"\s+"))
 
 
 def chunk_token_windows(
@@ -50,7 +44,7 @@ def chunk_token_windows(
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
     base = df.select(
-        F.col(id_col).alias("doc_id"), _words_guarded(F.col(text_col)).alias("words")
+        F.col(id_col).alias("doc_id"), words_col_guarded(F.col(text_col)).alias("words")
     )
     n = F.size("words")
     n_wins = F.ceil(n / F.lit(stride)).cast("int")
@@ -58,14 +52,15 @@ def chunk_token_windows(
         F.sequence(F.lit(0), n_wins - 1).cast("array<int>")
     )
     chunk = lambda j: F.slice(F.col("words"), j * stride + 1, window)  # noqa: E731
+    # the window array is exactly [0..n_wins-1], so the element IS the index
     out = (
-        base.select("doc_id", "words", F.posexplode(wins))
+        base.select("doc_id", "words", F.explode(wins).alias("j"))
         .select(
             "doc_id",
-            F.col("pos").alias("win_idx"),
-            (F.col("col") * stride).alias("start_tok"),
-            F.size(chunk(F.col("col"))).alias("n_tokens"),
-            F.concat_ws(" ", chunk(F.col("col"))).alias("chunk"),
+            F.col("j").alias("win_idx"),
+            (F.col("j") * stride).alias("start_tok"),
+            F.size(chunk(F.col("j"))).alias("n_tokens"),
+            F.concat_ws(" ", chunk(F.col("j"))).alias("chunk"),
         )
     )
     if drop_incomplete:

@@ -13,10 +13,13 @@ and shuffle it ONCE, keyed (doc_id, n, gram), for the window count — keys
 are doc-local, so the shuffle is perfectly distributable and per-key state
 is bounded by the longest single document (pre-chunk pathological multi-GB
 docs upstream with kgtm.packing.chunk_token_windows). The counted frame is
-lazily checkpointed and feeds both consumers (top-gram argmax, dup-gram
-coverage), whose aggregates and joins carry doc-cardinality rows only —
-orders of magnitude smaller than the exploded grams. No UDF anywhere; the
-whole plan is codegen + hash aggregate.
+lazily checkpointed and feeds both consumers: the top-gram argmax reduces
+straight to doc-cardinality; the dup-gram coverage branch additionally
+shuffles covered-word-index triples (doc_id, n, idx) for the distinct and
+joins them against the exploded word lengths — up to word-cardinality rows
+on a fully duplicated corpus, but fixed-width int triples, a strictly
+narrower payload than the gram-string shuffle that precedes them. No UDF
+anywhere; the whole plan is codegen + hash aggregate.
 """
 
 from __future__ import annotations
@@ -24,14 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kgtm.textstats import words_col_guarded
+
 __all__ = ["repetition_signals"]
-
-
-def _words_expr(text: Column) -> Column:
-    """Words of trimmed lowercased text; empty array for null/blank."""
-    return F.when(
-        F.coalesce(F.trim(text), F.lit("")) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.lower(text)), r"\s+"))
 
 
 def _lines_expr(text: Column, sep: str) -> Column:
@@ -73,7 +71,7 @@ def repetition_signals(
     ns = sorted(set(top_ns) | set(dup_ns))
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        _words_expr(F.col(text_col)).alias("words"),
+        words_col_guarded(F.col(text_col)).alias("words"),
         _lines_expr(F.col(text_col), line_sep).alias("lines"),
     )
 

@@ -29,6 +29,16 @@ def words_col(text: str | Column = "text") -> Column:
     return F.split(F.trim(F.lower(t)), r"\s+")
 
 
+def words_col_guarded(text: str | Column = "text") -> Column:
+    """words_col with the blank/null guard: empty array instead of [''].
+    The one tokenization contract shared by repetition/packing and the
+    DuckDB twins (kgtm.oracles._DUCK_WORDS_EXPR)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        F.coalesce(F.trim(t), F.lit("")) == "", F.array().cast("array<string>")
+    ).otherwise(words_col(t))
+
+
 def token_count_col(text: str | Column = "text") -> Column:
     """Whitespace token count; 0 for empty/null."""
     t = F.col(text) if isinstance(text, str) else text

@@ -170,13 +170,15 @@ def main() -> None:
     sections.append(
         (
             "repetition_signals (Gopher repetition filters)",
-            "What to check: the exploded grams (the only corpus-scale "
-            "frame) shuffle exactly once — the window count keyed "
-            "(doc_id, n, gram), computed inside the lazy checkpoint and "
-            "shared by both consumers; every aggregate/join after it "
-            "carries doc-cardinality rows; the line signals are per-row "
-            "array expressions inside the first projection; no UDF in the "
-            "plan.",
+            "What to check: the exploded gram STRINGS shuffle exactly once "
+            "— the window count keyed (doc_id, n, gram), computed inside "
+            "the lazy checkpoint and shared by both consumers. The "
+            "top-gram argmax reduces straight to doc-cardinality; the "
+            "coverage branch's distinct + word-length join still move up "
+            "to word-cardinality rows, but as fixed-width int triples — "
+            "strictly narrower than the gram shuffle before them. Line "
+            "signals are per-row array expressions in the first "
+            "projection; no UDF in the plan.",
             formatted(rep),
         )
     )

@@ -338,3 +338,82 @@ def test_repetition_filter_planted_and_twin(spark, documents):
     # unknown threshold key is refused, not silently ignored
     with pytest.raises(ValueError, match="unknown signals"):
         repetition_filter(planted, {"nope": 1.0}).collect()
+
+
+def test_mixture_sample_edge_domains_and_null_ids(spark):
+    """Review regressions: an explicit weight for the empty-string domain
+    must not be clobbered by the default; a null id keeps its floor(w)
+    whole epochs (no fractional draw) instead of being silently dropped —
+    and the DuckDB twin agrees on both."""
+    from kgtm import oracles
+    from kgtm.mixture import mixture_sample
+
+    rows = [(1, "t1", ""), (2, "t2", "a"), (None, "t3", "a"), (4, "t4", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    weights = {"": 0.0, "a": 2.25}
+    out = mixture_sample(df, weights, salt="s2", default_weight=1.0)
+    key = lambda t: (t[0] is not None, t[0] or 0, t[3])  # noqa: E731
+    got = sorted(
+        ((r.doc_id, r.text, r.source, r.epoch) for r in out.collect()), key=key
+    )
+    # source "" dropped outright; null id gets exactly floor(2.25)=2 epochs
+    assert [t for t in got if t[2] == ""] == []
+    assert [t for t in got if t[0] is None] == [(None, "t3", "a", 0), (None, "t3", "a", 1)]
+    assert [t for t in got if t[0] == 4] == [(4, "t4", "b", 0)]
+
+    planted = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    # keep ids integral under the None: float64 would hash as '2.0:s2'
+    planted["doc_id"] = planted["doc_id"].astype("Int64")
+    con = _duck(planted=planted)
+    want = sorted(
+        (
+            ((int(d) if d is not None else None), t, s, int(e))
+            for d, t, s, e in con.execute(
+                oracles.q_mixture_sample(weights, salt="s2")
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert got == want
+
+
+def test_mixture_sample_quoted_domain_twin(spark):
+    """Domain names containing quotes must survive the twin's SQL
+    literalization."""
+    from kgtm import oracles
+    from kgtm.mixture import mixture_sample
+
+    rows = [(1, "x", "o'reilly"), (2, "y", "plain")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    weights = {"o'reilly": 2.0}
+    got = sorted(tuple(r) for r in mixture_sample(df, weights, salt="q").collect())
+    planted = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    con = _duck(planted=planted)
+    want = sorted(
+        (int(d), t, s, int(e))
+        for d, t, s, e in con.execute(
+            oracles.q_mixture_sample(weights, salt="q")
+        ).fetchall()
+    )
+    assert got == want and len([t for t in got if t[2] == "o'reilly"]) == 2
+
+
+def test_pack_greedy_negative_ids_twin(spark):
+    """Review regression: the twin's shard must mirror Spark's pmod for
+    negative ids (plain SQL % is signed)."""
+    from kgtm import oracles
+    from kgtm.packing import pack_greedy
+
+    rows = [(i, "w " * (abs(i) % 5 + 1)) for i in range(-7, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in pack_greedy(df, budget=6, n_shards=4).collect())
+    planted = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = _duck(planted=planted)
+    want = sorted(
+        (int(d), int(s), int(n), int(p), int(o))
+        for d, s, n, p, o in con.execute(
+            oracles.q_pack_greedy(budget=6, n_shards=4)
+        ).fetchall()
+    )
+    assert got == want
+    assert {t[1] for t in got} == {0, 1, 2, 3}
