@@ -33,18 +33,24 @@ def chunk_token_windows(
     text_col: str = "text",
     id_col: str = "doc_id",
     drop_incomplete: bool = False,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, win_idx, start_tok, n_tokens, chunk) — the document split
-    into ``window``-token chunks every ``stride`` tokens (default
-    non-overlapping, stride=window). The final partial chunk is kept unless
-    ``drop_incomplete`` (the usual trainer setting). Empty documents emit
-    no rows. Pure array expressions; the explode is the only fan-out."""
+    """(doc_id, [extra_cols...,] win_idx, start_tok, n_tokens, chunk) — the
+    document split into ``window``-token chunks every ``stride`` tokens
+    (default non-overlapping, stride=window). The final partial chunk is
+    kept unless ``drop_incomplete`` (the usual trainer setting). Empty
+    documents emit no rows. ``extra_cols`` pass through unchanged (e.g. the
+    ``epoch`` column of a mixture-sampled corpus, which keeps replicated
+    doc_ids distinguishable downstream). Pure array expressions; the
+    explode is the only fan-out."""
     if stride is None:
         stride = window
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
     base = df.select(
-        F.col(id_col).alias("doc_id"), words_col_guarded(F.col(text_col)).alias("words")
+        F.col(id_col).alias("doc_id"),
+        *extra_cols,
+        words_col_guarded(F.col(text_col)).alias("words"),
     )
     n = F.size("words")
     n_wins = F.ceil(n / F.lit(stride)).cast("int")
@@ -54,9 +60,10 @@ def chunk_token_windows(
     chunk = lambda j: F.slice(F.col("words"), j * stride + 1, window)  # noqa: E731
     # the window array is exactly [0..n_wins-1], so the element IS the index
     out = (
-        base.select("doc_id", "words", F.explode(wins).alias("j"))
+        base.select("doc_id", *extra_cols, "words", F.explode(wins).alias("j"))
         .select(
             "doc_id",
+            *extra_cols,
             F.col("j").alias("win_idx"),
             (F.col("j") * stride).alias("start_tok"),
             F.size(chunk(F.col("j"))).alias("n_tokens"),
@@ -74,13 +81,17 @@ def pack_greedy(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, shard, n_tokens, pack_idx, pack_off) — greedy sequential
-    packing of documents into ``budget``-token packs, sharded by
-    ``pmod(doc_id, n_shards)`` and walked in doc_id order within a shard:
-    a document opens a new pack exactly when the current pack is non-empty
-    and would overflow; an oversize document (> budget tokens) sits alone
-    in its own pack. Deterministic given (budget, n_shards).
+    """(doc_id, [order_cols...,] shard, n_tokens, pack_idx, pack_off) —
+    greedy sequential packing of documents into ``budget``-token packs,
+    sharded by ``pmod(doc_id, n_shards)`` and walked in (doc_id,
+    *order_cols) order within a shard: a document opens a new pack exactly
+    when the current pack is non-empty and would overflow; an oversize
+    document (> budget tokens) sits alone in its own pack. Deterministic
+    given (budget, n_shards) — when the input can carry duplicate ids
+    (e.g. mixture-sampled epochs), pass the disambiguating column(s) as
+    ``order_cols`` or the within-shard walk order is partition-dependent.
 
     applyInPandas per shard — the walk is one integer accumulation over the
     shard's (doc_id, n_tokens) pairs, vector-fetched as numpy; text never
@@ -90,12 +101,13 @@ def pack_greedy(
         raise ValueError("budget and n_shards must be positive")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
+        *order_cols,
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
         token_count_col(F.col(text_col)).alias("n_tokens"),
     )
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        pdf = pdf.sort_values(["doc_id", *order_cols], ignore_index=True)
         packs, offs = [], []
         pack, acc = 0, 0
         for t in pdf["n_tokens"].to_numpy():
@@ -108,5 +120,10 @@ def pack_greedy(
         pdf["pack_off"] = pd.array(offs, dtype="int64")
         return pdf
 
-    schema = "doc_id long, shard int, n_tokens long, pack_idx long, pack_off long"
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(toks.schema.fields)
+        + [StructField("pack_idx", LongType()), StructField("pack_off", LongType())]
+    )
     return toks.groupBy("shard").applyInPandas(walk, schema)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PII_PATTERNS", "PII_KINDS", "pii_signals", "redact_pii"]
+__all__ = ["PII_PATTERNS", "PII_KINDS", "pii_signals", "redact_col", "redact_pii"]
 
 # kind -> (pattern, replacement token); ORDER IS THE REDACTION ORDER.
 # SSN precedes phone so 3-2-4 digit groups are never half-eaten by the
@@ -61,6 +61,16 @@ def pii_signals(
     )
 
 
+def redact_col(text: Column) -> Column:
+    """The redaction as a single column expression (kinds applied
+    sequentially in PII_KINDS order) — use this to redact in place inside a
+    wider projection without a join."""
+    t = F.coalesce(text, F.lit(""))
+    for _, (pattern, token) in PII_PATTERNS.items():
+        t = F.regexp_replace(t, pattern, token)
+    return t
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",
@@ -68,8 +78,9 @@ def redact_pii(
     out_col: str = "text_redacted",
 ) -> DataFrame:
     """Adds ``out_col``: the text with every PII match replaced by its
-    typed token, kinds applied sequentially in PII_KINDS order."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    for _, (pattern, token) in PII_PATTERNS.items():
-        t = F.regexp_replace(t, pattern, token)
-    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col), t.alias(out_col))
+    typed token."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col),
+        redact_col(F.col(text_col)).alias(out_col),
+    )

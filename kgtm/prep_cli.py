@@ -1,0 +1,157 @@
+"""spark-submit entry point for the data-prep tier (`spark-submit
+--py-files kgtm.zip kgtm/prep_cli.py ...`) — the corpus-side counterpart to
+kgtm/cli.py's KG pipeline.
+
+Applies the selected stages to a documents table in the canonical order
+
+    redact -> filter -> mixture -> (chunk | pack)
+
+and commits the result through the manifest store (same lineage/metrics
+layer as the triple pipeline). ``--signals-out`` additionally materializes
+the full per-document signal table (repetition + quality + PII counts)
+BEFORE any filtering — the audit artifact a curation run keeps.
+
+Usage:
+  spark-submit --py-files kgtm.zip kgtm/prep_cli.py \
+      --documents /data/documents.parquet --out /data/prepped \
+      --stages redact,filter,mixture,chunk \
+      --weights '{"web": 0.5, "code": 3.0}' --window 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+STAGE_ORDER = ["redact", "filter", "mixture", "chunk", "pack"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("kgtm-prep", description=__doc__)
+    p.add_argument("--documents", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="manifest store root for the result")
+    p.add_argument(
+        "--stages",
+        default="redact,filter",
+        help=f"comma list from {STAGE_ORDER} (applied in that order; "
+        "chunk and pack are mutually exclusive)",
+    )
+    p.add_argument("--signals-out", default=None,
+                   help="also commit the pre-filter signal table to this store")
+    p.add_argument("--thresholds", default=None,
+                   help="JSON dict overriding the Gopher repetition caps")
+    p.add_argument("--weights", default=None,
+                   help="JSON dict of domain -> epochs for the mixture stage")
+    p.add_argument("--default-weight", type=float, default=1.0)
+    p.add_argument("--domain-col", default="source")
+    p.add_argument("--salt", default="mix")
+    p.add_argument("--window", type=int, default=2048)
+    p.add_argument("--stride", type=int, default=None)
+    p.add_argument("--drop-incomplete", action="store_true")
+    p.add_argument("--budget", type=int, default=2048)
+    p.add_argument("--n-shards", type=int, default=64)
+    p.add_argument("--cores", type=int, default=None)
+    return p
+
+
+def _parse_stages(raw: str) -> list[str]:
+    stages = [s.strip() for s in raw.split(",") if s.strip()]
+    unknown = set(stages) - set(STAGE_ORDER)
+    if unknown:
+        raise SystemExit(f"error: unknown stages {sorted(unknown)}; pick from {STAGE_ORDER}")
+    if "chunk" in stages and "pack" in stages:
+        raise SystemExit("error: chunk and pack are mutually exclusive terminal stages")
+    return [s for s in STAGE_ORDER if s in stages]
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    stages = _parse_stages(args.stages)
+    thresholds = json.loads(args.thresholds) if args.thresholds else None
+    weights = json.loads(args.weights) if args.weights else {}
+    if "mixture" in stages and not weights and args.default_weight == 1.0:
+        print("warning: mixture stage with no weights is the identity", file=sys.stderr)
+
+    from pyspark.sql import functions as F
+
+    from kgtm.materialize import write_table
+    from kgtm.metrics import MetricsCollector
+    from kgtm.mixture import mixture_sample, repetition_filter
+    from kgtm.packing import chunk_token_windows, pack_greedy
+    from kgtm.pii import pii_signals, redact_col
+    from kgtm.session import get_spark
+    from kgtm.textstats import quality_features
+
+    spark = get_spark(app_name="kgtm-prep", cores=args.cores)
+    docs = spark.read.parquet(args.documents)
+    mc = MetricsCollector()
+    report: dict = {"stages": stages}
+
+    if args.signals_out:
+        with mc.stage("signals"):
+            sig = (
+                repetition_filter(docs, thresholds)
+                .join(pii_signals(docs), "doc_id")
+                .join(
+                    quality_features(docs.select("doc_id", "text")).drop("text"),
+                    "doc_id",
+                )
+            )
+            report["signals_commit"] = write_table(
+                sig, args.signals_out, table="doc_signals",
+                partition_by=(), metrics=mc,
+            )
+
+    out = docs
+    for stage in stages:
+        with mc.stage(stage):
+            if stage == "redact":
+                # in-place projection — no join, fuses into the scan
+                out = out.withColumn("text", redact_col(F.col("text")))
+            elif stage == "filter":
+                keep = repetition_filter(out, thresholds).where("keep").select("doc_id")
+                out = out.join(keep, "doc_id", "semi")
+            elif stage == "mixture":
+                out = mixture_sample(
+                    out,
+                    weights,
+                    domain_col=args.domain_col,
+                    salt=args.salt,
+                    default_weight=args.default_weight,
+                )
+            elif stage == "chunk":
+                # epoch passes through so replicated doc_ids stay distinct
+                extra = ("epoch",) if "epoch" in out.columns else ()
+                out = chunk_token_windows(
+                    out,
+                    window=args.window,
+                    stride=args.stride,
+                    drop_incomplete=args.drop_incomplete,
+                    extra_cols=extra,
+                )
+            elif stage == "pack":
+                order = ("epoch",) if "epoch" in out.columns else ()
+                out = pack_greedy(
+                    out, budget=args.budget, n_shards=args.n_shards, order_cols=order
+                )
+
+    with mc.stage("commit"):
+        # chunk/pack outputs don't carry the corpus partition column
+        part = ("source",) if "source" in out.columns else ()
+        report["commit"] = write_table(
+            out, args.out, table="prepped", partition_by=part, metrics=mc
+        )
+    from kgtm.materialize import read_table
+
+    report["n_rows"] = read_table(spark, args.out, table="prepped").count()
+    print(json.dumps(report, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

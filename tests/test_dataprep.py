@@ -417,3 +417,80 @@ def test_pack_greedy_negative_ids_twin(spark):
     )
     assert got == want
     assert {t[1] for t in got} == {0, 1, 2, 3}
+
+
+def test_chunk_extra_cols_and_pack_order_cols(spark):
+    """Epoch plumbing for mixture-sampled corpora: chunking passes extra
+    columns through; packing with order_cols is deterministic under
+    duplicate ids regardless of input partitioning."""
+    from kgtm.packing import chunk_token_windows, pack_greedy
+
+    rows = [(1, 0, "a b c"), (1, 1, "a b c"), (2, 0, "d e")]
+    df = spark.createDataFrame(rows, "doc_id long, epoch int, text string")
+    chunks = sorted(
+        (r.doc_id, r.epoch, r.win_idx, r.chunk)
+        for r in chunk_token_windows(df, window=2, extra_cols=("epoch",)).collect()
+    )
+    assert chunks == [
+        (1, 0, 0, "a b"), (1, 0, 1, "c"),
+        (1, 1, 0, "a b"), (1, 1, 1, "c"),
+        (2, 0, 0, "d e"),
+    ]
+
+    a = pack_greedy(df, budget=4, n_shards=2, order_cols=("epoch",))
+    b = pack_greedy(df.repartition(7), budget=4, n_shards=2, order_cols=("epoch",))
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    assert "epoch" in a.columns
+    # rows are (doc_id, epoch, shard, n_tokens, pack_idx, pack_off);
+    # doc 1's two 3-token epochs overflow budget 4 -> epoch 1 opens pack 1
+    one = {r[1]: (r[4], r[5]) for r in ra if r[0] == 1}
+    assert one == {0: (0, 0), 1: (1, 0)}
+
+
+def test_prep_cli_end_to_end_subprocess(spark, tmp_path):
+    """Drive the data-prep CLI as spark-submit would (fresh JVM), through
+    redact -> filter -> mixture -> chunk with a signals side-table."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    lenient = _json.dumps({k: 1.0 for k in [
+        "dup_line_frac", "dup_line_char_frac", "top2_char_frac",
+        "top3_char_frac", "top4_char_frac", "dup5_char_frac", "dup10_char_frac",
+    ]})
+    out = subprocess.run(
+        [
+            _sys.executable, str(repo / "kgtm" / "prep_cli.py"),
+            "--documents", f"{SF}/documents.parquet",
+            "--out", str(tmp_path / "prepped"),
+            "--signals-out", str(tmp_path / "signals"),
+            "--stages", "redact,filter,mixture,chunk",
+            "--thresholds", lenient,
+            "--weights", '{"src0": 2.0, "src1": 0.5}',
+            "--window", "16",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["n_rows"] > 0
+
+    from kgtm.materialize import read_table
+
+    prepped = read_table(spark, str(tmp_path / "prepped"), table="prepped")
+    assert {"doc_id", "epoch", "win_idx", "chunk"} <= set(prepped.columns)
+    # src0 docs were doubled: every (doc_id, win_idx) of a src0 doc appears
+    # with epochs {0, 1}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src0 = [r.doc_id for r in docs.where("source = 'src0'").limit(3).collect()]
+    for d in src0:
+        eps = {r.epoch for r in prepped.where(f"doc_id = {d}").collect()}
+        assert eps == {0, 1}
+    sig = read_table(spark, str(tmp_path / "signals"), table="doc_signals")
+    assert {"keep", "n_pii", "quality_score"} <= set(sig.columns)
+    assert sig.count() == docs.count()
