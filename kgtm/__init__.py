@@ -38,6 +38,13 @@ __all__ = [
     "list_commits",
     "persist_ledger",
     "read_ledger",
+    "repetition_signals",
+    "repetition_filter",
+    "mixture_sample",
+    "pii_signals",
+    "redact_pii",
+    "chunk_token_windows",
+    "pack_greedy",
 ]
 
 
@@ -70,4 +77,20 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm import materialize
 
         return getattr(materialize, name)
+    if name == "repetition_signals":
+        from kgtm.repetition import repetition_signals
+
+        return repetition_signals
+    if name in ("repetition_filter", "mixture_sample"):
+        from kgtm import mixture
+
+        return getattr(mixture, name)
+    if name in ("pii_signals", "redact_pii"):
+        from kgtm import pii
+
+        return getattr(pii, name)
+    if name in ("chunk_token_windows", "pack_greedy"):
+        from kgtm import packing
+
+        return getattr(packing, name)
     raise AttributeError(name)
