@@ -494,3 +494,41 @@ def test_prep_cli_end_to_end_subprocess(spark, tmp_path):
     sig = read_table(spark, str(tmp_path / "signals"), table="doc_signals")
     assert {"keep", "n_pii", "quality_score"} <= set(sig.columns)
     assert sig.count() == docs.count()
+
+
+def test_prep_stages_are_streaming_composable(spark, documents, tmp_path):
+    """The stateless prep stages (redact -> chunk) run unchanged on a
+    readStream source and produce exactly the batch result — the property
+    that lets the prep tier sit inside a Structured Streaming ingest."""
+    from kgtm.packing import chunk_token_windows
+    from kgtm.pii import redact_col
+    from pyspark.sql import functions as F
+
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    docs = documents.select("doc_id", "text", "source")
+    docs.repartition(4).write.parquet(in_dir)
+
+    def prep(df):
+        return chunk_token_windows(
+            df.withColumn("text", redact_col(F.col("text"))), window=16
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    q = (
+        prep(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    want = sorted(tuple(r) for r in prep(spark.read.parquet(in_dir)).collect())
+    assert len(got) > 0 and got == want
