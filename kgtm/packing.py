@@ -18,7 +18,7 @@ accumulator, never the documents themselves.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgtm.textstats import token_count_col, words_col_guarded
