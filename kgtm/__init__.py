@@ -45,6 +45,9 @@ __all__ = [
     "redact_pii",
     "chunk_token_windows",
     "pack_greedy",
+    "paragraph_dedup",
+    "split_assign",
+    "leakage_safe_split",
 ]
 
 
@@ -81,7 +84,11 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm.repetition import repetition_signals
 
         return repetition_signals
-    if name in ("repetition_filter", "mixture_sample"):
+    if name == "paragraph_dedup":
+        from kgtm.paragraphs import paragraph_dedup
+
+        return paragraph_dedup
+    if name in ("repetition_filter", "mixture_sample", "split_assign", "leakage_safe_split"):
         from kgtm import mixture
 
         return getattr(mixture, name)

@@ -26,7 +26,13 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mixture_sample", "repetition_filter", "REPETITION_DEFAULTS"]
+__all__ = [
+    "mixture_sample",
+    "repetition_filter",
+    "REPETITION_DEFAULTS",
+    "split_assign",
+    "leakage_safe_split",
+]
 
 _HASH_SPACE = 1 << 32
 
@@ -118,3 +124,74 @@ def repetition_filter(
     for col, cap in sorted(thresholds.items()):
         keep = keep & (F.col(col) <= F.lit(float(cap)))
     return sig.select("doc_id", keep.alias("keep"), *[c for c in sig.columns if c != "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# train / holdout splits
+# ---------------------------------------------------------------------------
+
+
+def split_assign(
+    df: DataFrame,
+    holdout_frac: float = 0.01,
+    by_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """All input columns plus ``out_col`` in {'train','holdout'}: a row is
+    holdout iff the first 32 bits of md5('{by}:{salt}') fall under
+    ``floor(holdout_frac * 2^32)`` — the same cross-engine integer-compare
+    contract as mixture_sample, so the assignment is reproducible
+    bit-for-bit in DuckDB and stable across runs/engines forever.
+
+    ``by_col`` is the ATOMICITY key: every row sharing a ``by_col`` value
+    lands on the same side (pass a cluster id for leakage-safe splits). A
+    NULL key never draws holdout (unknown identity must not leak into the
+    eval side). Zero joins, zero shuffle — fuses into the scan."""
+    if not (0.0 <= holdout_frac <= 1.0):
+        raise ValueError(f"holdout_frac must be in [0, 1]: {holdout_frac}")
+    thresh = int(math.floor(holdout_frac * _HASH_SPACE))
+    is_hold = hash32_col(F.col(by_col), salt) < F.lit(thresh)
+    tag = F.when(F.coalesce(is_hold, F.lit(False)), F.lit("holdout")).otherwise(
+        F.lit("train")
+    )
+    return df.select("*", tag.alias(out_col))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    threshold: float = 0.5,
+    holdout_frac: float = 0.01,
+    salt: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Train/holdout split that can never leak a near-duplicate across the
+    boundary: documents are clustered by exact n-gram Jaccard >= threshold
+    (transitive closure — kgtm.dedup.dedup_clusters), then the WHOLE
+    cluster is assigned by hashing its cluster id. Returns every input
+    column plus (cluster_id, split).
+
+    Without this, a plain per-doc split puts ~holdout_frac of each
+    near-dup cluster in holdout while its twins train — the classic eval
+    contamination bug that decontamination audits then re-discover.
+
+    Scale shape: the pair generation is the capped shingle join (pass
+    ``max_shingle_df`` on web-scale corpora), clustering is the
+    large-star/small-star O(log n) loop, and the final assignment joins
+    the (id, cluster_id) frame back on the id key — one co-partitioned
+    shuffle join; the split tag itself is a scan-fused hash compare."""
+    from kgtm.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n,
+        threshold=threshold, max_shingle_df=max_shingle_df,
+    )
+    clusters = dedup_clusters(pairs, df.select(id_col), id_col)
+    assigned = split_assign(
+        clusters.select(F.col("id").alias(id_col), "cluster_id"),
+        holdout_frac=holdout_frac, by_col="cluster_id", salt=salt,
+    )
+    return df.join(assigned, id_col)

@@ -1461,3 +1461,71 @@ def q_repetition_filter(thresholds: dict[str, float] | None = None) -> str:
              dup5_char_frac, dup10_char_frac
       FROM ({q_repetition_signals()})
     """
+
+
+def q_paragraph_dedup(sep: str = "\n", min_chars: int = 20) -> str:
+    """Value-checked twin of kgtm.paragraphs.paragraph_dedup: split on the
+    literal separator (string_split == Spark's \\Q..\\E-quoted split, both
+    keeping trailing empties), rank candidate paragraphs by (doc_id, pos)
+    within their md5 digest, keep rank 1 plus every sub-min_chars
+    paragraph, and reassemble in paragraph order. Docs with zero kept
+    paragraphs drop out of the GROUP BY on both engines."""
+    s = sep.replace("'", "''")
+    return f"""
+      WITH ex AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, paras[i + 1] AS para,
+               CAST(len(paras) AS INT) AS n_paras
+        FROM (SELECT doc_id, string_split(text, '{s}') AS paras,
+                     unnest(range(0, len(string_split(text, '{s}')))) AS i
+              FROM documents)),
+      cand AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(para)
+                                     ORDER BY doc_id, pos) AS rn
+        FROM ex WHERE length(trim(para)) >= {min_chars}),
+      kept AS (
+        SELECT doc_id, pos, para, n_paras FROM ex
+        WHERE length(trim(para)) < {min_chars}
+        UNION ALL
+        SELECT doc_id, pos, para, n_paras FROM cand WHERE rn = 1)
+      SELECT doc_id, string_agg(para, '{s}' ORDER BY pos) AS text,
+             any_value(n_paras) AS n_paras, count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    """
+
+
+def _q_split_tag(key_expr: str, holdout_frac: float, salt: str) -> str:
+    """CASE expression tagging ``key_expr`` train/holdout by the shared
+    md5-first-32-bits integer-threshold contract (mixture.hash32_col)."""
+    import math as _math
+
+    thresh = int(_math.floor(holdout_frac * (1 << 32)))
+    h = (
+        f"CAST('0x' || substr(md5({key_expr}::VARCHAR || ':{salt}'), 1, 8) "
+        "AS UBIGINT)::BIGINT"
+    )
+    return f"CASE WHEN {h} < {thresh} THEN 'holdout' ELSE 'train' END"
+
+
+def q_split_assign(holdout_frac: float = 0.01, salt: str = "split") -> str:
+    """Value-checked twin of kgtm.mixture.split_assign on the documents
+    table keyed by doc_id (NULL ids fall to train via CASE semantics,
+    matching Spark's coalesce(h < t, false))."""
+    return f"""
+      SELECT *, {_q_split_tag("doc_id", holdout_frac, salt)} AS split
+      FROM documents
+    """
+
+
+def q_leakage_safe_split(
+    threshold: float = 0.5, holdout_frac: float = 0.01, salt: str = "split"
+) -> str:
+    """Value-checked twin of kgtm.mixture.leakage_safe_split: the
+    recursive-CTE near-dup closure (q_dedup_clusters, uncapped shingle
+    space) joined back to documents, split tag hashed on the cluster id so
+    whole clusters move together."""
+    return f"""
+      SELECT d.*, c.cluster_id,
+             {_q_split_tag("c.cluster_id", holdout_frac, salt)} AS split
+      FROM documents d
+      JOIN ({q_dedup_clusters(threshold)}) c ON d.doc_id = c.id
+    """

@@ -4,7 +4,12 @@ kgtm/cli.py's KG pipeline.
 
 Applies the selected stages to a documents table in the canonical order
 
-    redact -> filter -> mixture -> (chunk | pack)
+    paradedup -> redact -> filter -> split -> mixture -> (chunk | pack)
+
+``paradedup`` removes every non-first occurrence of a duplicated paragraph
+corpus-wide (C4-style boilerplate removal) before any per-document signal
+is computed; ``split`` tags rows train/holdout deterministically BEFORE the
+mixture stage so holdout documents are never epoch-replicated.
 
 and commits the result through the manifest store (same lineage/metrics
 layer as the triple pipeline). ``--signals-out`` additionally materializes
@@ -27,7 +32,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-STAGE_ORDER = ["redact", "filter", "mixture", "chunk", "pack"]
+STAGE_ORDER = ["paradedup", "redact", "filter", "split", "mixture", "chunk", "pack"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -49,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--default-weight", type=float, default=1.0)
     p.add_argument("--domain-col", default="source")
     p.add_argument("--salt", default="mix")
+    p.add_argument("--para-sep", default="\n",
+                   help="literal paragraph separator for the paradedup stage")
+    p.add_argument("--para-min-chars", type=int, default=20,
+                   help="paragraphs shorter than this (trimmed) are never deduped")
+    p.add_argument("--holdout-frac", type=float, default=0.01,
+                   help="holdout fraction for the split stage")
+    p.add_argument("--split-salt", default="split")
     p.add_argument("--window", type=int, default=2048)
     p.add_argument("--stride", type=int, default=None)
     p.add_argument("--drop-incomplete", action="store_true")
@@ -109,23 +121,52 @@ def main(argv: list[str] | None = None) -> int:
     out = docs
     for stage in stages:
         with mc.stage(stage):
-            if stage == "redact":
+            if stage == "paradedup":
+                from kgtm.paragraphs import paragraph_dedup
+
+                deduped = paragraph_dedup(
+                    out, sep=args.para_sep, min_chars=args.para_min_chars
+                )
+                # rejoin non-text columns; docs left with zero kept
+                # paragraphs drop here (inner join on the survivor set)
+                out = out.drop("text").join(
+                    deduped.select("doc_id", "text"), "doc_id"
+                )
+            elif stage == "split":
+                from kgtm.mixture import split_assign
+
+                out = split_assign(
+                    out, holdout_frac=args.holdout_frac, salt=args.split_salt
+                )
+            elif stage == "redact":
                 # in-place projection — no join, fuses into the scan
                 out = out.withColumn("text", redact_col(F.col("text")))
             elif stage == "filter":
                 keep = repetition_filter(out, thresholds).where("keep").select("doc_id")
                 out = out.join(keep, "doc_id", "semi")
             elif stage == "mixture":
-                out = mixture_sample(
-                    out,
-                    weights,
-                    domain_col=args.domain_col,
-                    salt=args.salt,
-                    default_weight=args.default_weight,
-                )
+                def _mix(frame):
+                    return mixture_sample(
+                        frame,
+                        weights,
+                        domain_col=args.domain_col,
+                        salt=args.salt,
+                        default_weight=args.default_weight,
+                    )
+
+                if "split" in out.columns:
+                    # holdout is an eval set: never epoch-replicated, never
+                    # dropped by a 0-weight domain — exactly one epoch-0 copy
+                    hold = out.where(F.col("split") != "train").withColumn(
+                        "epoch", F.lit(0)
+                    )
+                    out = _mix(out.where(F.col("split") == "train")).unionByName(hold)
+                else:
+                    out = _mix(out)
             elif stage == "chunk":
-                # epoch passes through so replicated doc_ids stay distinct
-                extra = ("epoch",) if "epoch" in out.columns else ()
+                # epoch/split pass through so replicated doc_ids stay
+                # distinct and the train/holdout tag survives chunking
+                extra = tuple(c for c in ("epoch", "split") if c in out.columns)
                 out = chunk_token_windows(
                     out,
                     window=args.window,
@@ -135,9 +176,25 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif stage == "pack":
                 order = ("epoch",) if "epoch" in out.columns else ()
-                out = pack_greedy(
-                    out, budget=args.budget, n_shards=args.n_shards, order_cols=order
-                )
+
+                def _pack(frame):
+                    return pack_greedy(
+                        frame, budget=args.budget, n_shards=args.n_shards,
+                        order_cols=order,
+                    )
+
+                if "split" in out.columns:
+                    # pack each side separately — a training pack must never
+                    # contain a holdout document
+                    out = _pack(out.where(F.col("split") == "train")).withColumn(
+                        "split", F.lit("train")
+                    ).unionByName(
+                        _pack(out.where(F.col("split") != "train")).withColumn(
+                            "split", F.lit("holdout")
+                        )
+                    )
+                else:
+                    out = _pack(out)
 
     with mc.stage("commit"):
         # chunk/pack outputs don't carry the corpus partition column

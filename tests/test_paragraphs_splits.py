@@ -1,0 +1,241 @@
+"""Paragraph-level exact dedup and train/holdout split coverage — each
+value-checked against a DuckDB twin (pytest-gated; the driver gate is capped
+at 50 queries) plus hand-planted invariants.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(parquet_docs: str | None = None, planted: pd.DataFrame | None = None):
+    con = duckdb.connect()
+    if parquet_docs is not None:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{parquet_docs}/documents.parquet')"
+        )
+    if planted is not None:
+        con.register("planted_df", planted)
+        con.execute("CREATE VIEW documents AS SELECT * FROM planted_df")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup
+# ---------------------------------------------------------------------------
+
+PD_COLS = ["doc_id", "text", "n_paras", "n_kept"]
+
+
+def _pd_rows(df, **kw):
+    from kgtm.paragraphs import paragraph_dedup
+
+    out = paragraph_dedup(df, **kw)
+    assert out.columns == PD_COLS
+    return sorted(tuple(r[c] for c in PD_COLS) for r in out.collect())
+
+
+def _pd_oracle_rows(con, **kw):
+    from kgtm import oracles
+
+    return sorted(
+        (int(d), t, int(np), int(nk))
+        for d, t, np, nk in con.execute(oracles.q_paragraph_dedup(**kw)).fetchall()
+    )
+
+
+def test_paragraph_dedup_matches_duckdb_twin_corpus(spark, documents):
+    # synthetic docs have no newlines: every doc is one paragraph, so the
+    # operator degenerates to doc-level exact dedup — still a full value
+    # check of the split/rank/reassemble machinery on 500 real rows.
+    got = _pd_rows(documents)
+    want = _pd_oracle_rows(_duck(parquet_docs=SF))
+    assert got == want
+    assert len(got) > 0
+
+
+PD_ROWS = [
+    # boilerplate ("accept all cookies to continue browsing") in docs 1,2,4;
+    # doc 2 also repeats it internally; doc 5 differs only by case.
+    (1, "accept all cookies to continue browsing\nunique first doc body text here"),
+    (2, "accept all cookies to continue browsing\nsecond doc body line that is unique\naccept all cookies to continue browsing"),
+    (3, "##\na short heading kept twice\n##\na totally unique third document paragraph"),
+    (4, "doc four opening statement paragraph\naccept all cookies to continue browsing\n"),
+    (5, "Accept All Cookies To Continue Browsing"),
+    (6, ""),
+]
+
+
+def test_paragraph_dedup_planted_first_occurrence_wins(spark):
+    df = spark.createDataFrame(PD_ROWS, "doc_id long, text string")
+    got = {r[0]: r for r in _pd_rows(df)}
+
+    # doc 1 holds the first occurrence: byte-identical round-trip
+    assert got[1] == (1, PD_ROWS[0][1], 2, 2)
+    # doc 2 loses BOTH copies (corpus-first lives in doc 1)
+    assert got[2] == (2, "second doc body line that is unique", 3, 1)
+    # doc 3: short "##" paragraphs are non-candidates, kept both times
+    assert got[3][1] == "##\na short heading kept twice\n##\na totally unique third document paragraph"
+    assert got[3][2:] == (4, 4)
+    # doc 4: trailing separator -> trailing empty paragraph survives
+    assert got[4] == (4, "doc four opening statement paragraph\n", 3, 2)
+    # doc 5: exact-match dedup is case-sensitive
+    assert got[5] == (5, PD_ROWS[4][1], 1, 1)
+    # doc 6: the empty doc's single empty paragraph is a non-candidate
+    assert got[6] == (6, "", 1, 1)
+
+    # and the DuckDB twin agrees on every planted corner
+    planted = pd.DataFrame(PD_ROWS, columns=["doc_id", "text"])
+    assert sorted(got.values()) == _pd_oracle_rows(_duck(planted=planted))
+
+
+def test_paragraph_dedup_duplicate_free_corpus_roundtrips(spark):
+    rows = [
+        (10, "first wholly unique paragraph body\nsecond wholly unique paragraph body"),
+        (11, "third wholly unique paragraph body\n\nafter a blank line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _pd_rows(df)
+    assert [(d, t) for d, t, *_ in got] == rows
+    assert all(np == nk for _, _, np, nk in got)
+
+
+def test_paragraph_dedup_custom_sep_and_threshold(spark):
+    # a regex-special separator must be treated literally (\Q..\E quoting)
+    rows = [(1, "alpha beta gamma delta||x||alpha beta gamma delta"),
+            (2, "alpha beta gamma delta||epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _pd_rows(df, sep="||", min_chars=5)
+    assert got == [
+        (1, "alpha beta gamma delta||x", 3, 2),
+        (2, "epsilon zeta", 2, 1),
+    ]
+    planted = pd.DataFrame(rows, columns=["doc_id", "text"])
+    assert got == _pd_oracle_rows(_duck(planted=planted), sep="||", min_chars=5)
+
+
+# ---------------------------------------------------------------------------
+# split_assign / leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_split_assign_matches_duckdb_twin_corpus(spark, documents):
+    from kgtm.mixture import split_assign
+
+    out = split_assign(documents, holdout_frac=0.05, salt="s5")
+    got = sorted((r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect())
+    from kgtm import oracles
+
+    want = sorted(
+        (int(d), s)
+        for d, s in _duck(parquet_docs=SF)
+        .execute(
+            "SELECT doc_id, split FROM ("
+            + oracles.q_split_assign(holdout_frac=0.05, salt="s5")
+            + ")"
+        )
+        .fetchall()
+    )
+    assert got == want
+    # deterministic: a re-run draws the identical assignment
+    got2 = sorted((r["doc_id"], r["split"]) for r in split_assign(
+        documents, holdout_frac=0.05, salt="s5").select("doc_id", "split").collect())
+    assert got == got2
+    n_hold = sum(1 for _, s in got if s == "holdout")
+    assert 0 < n_hold < len(got)  # 5% of 500 — both sides populated
+
+
+def test_split_assign_null_key_never_holdout(spark):
+    from kgtm.mixture import split_assign
+
+    df = spark.createDataFrame([(None, "x")] * 8, "doc_id long, text string")
+    # holdout_frac=1.0 sends EVERY hashable key to holdout; nulls must not go
+    out = split_assign(df, holdout_frac=1.0).select("split").collect()
+    assert {r["split"] for r in out} == {"train"}
+
+
+def test_leakage_safe_split_matches_twin_and_is_cluster_atomic(spark, documents):
+    from kgtm import oracles
+    from kgtm.mixture import leakage_safe_split
+
+    out = leakage_safe_split(documents, threshold=0.5, holdout_frac=0.2, salt="ls")
+    rows = out.select("doc_id", "cluster_id", "split").collect()
+    got = sorted((r["doc_id"], r["cluster_id"], r["split"]) for r in rows)
+    want = sorted(
+        (int(d), c, s)
+        for d, c, s in _duck(parquet_docs=SF)
+        .execute(
+            "SELECT doc_id, cluster_id, split FROM ("
+            + oracles.q_leakage_safe_split(threshold=0.5, holdout_frac=0.2, salt="ls")
+            + ")"
+        )
+        .fetchall()
+    )
+    assert got == want
+    assert len(got) == documents.count()
+    # atomicity: no cluster straddles the train/holdout boundary
+    per_cluster: dict[str, set[str]] = {}
+    for _, c, s in got:
+        per_cluster.setdefault(c, set()).add(s)
+    assert all(len(v) == 1 for v in per_cluster.values())
+    # the corpus has planted near-dup clusters — at least one real multi-doc
+    # cluster must exist for the atomicity assertion to bite
+    from collections import Counter
+
+    sizes = Counter(c for _, c, _ in got)
+    assert max(sizes.values()) >= 2
+
+
+def test_prep_cli_paradedup_split_subprocess(tmp_path, spark):
+    """Drive the prep CLI through paradedup -> redact -> filter -> split ->
+    mixture -> chunk: holdout rows keep exactly one epoch-0 copy and the
+    split tag survives chunking."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    lenient = _json.dumps({k: 1.0 for k in [
+        "dup_line_frac", "dup_line_char_frac", "top2_char_frac",
+        "top3_char_frac", "top4_char_frac", "dup5_char_frac", "dup10_char_frac",
+    ]})
+    out = subprocess.run(
+        [
+            _sys.executable, str(repo / "kgtm" / "prep_cli.py"),
+            "--documents", f"{SF}/documents.parquet",
+            "--out", str(tmp_path / "prepped"),
+            "--stages", "paradedup,redact,filter,split,mixture,chunk",
+            "--thresholds", lenient,
+            "--weights", '{"src0": 2.0}',
+            "--holdout-frac", "0.1",
+            "--window", "16",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["n_rows"] > 0
+
+    from kgtm.materialize import read_table
+
+    prepped = read_table(spark, str(tmp_path / "prepped"), table="prepped")
+    assert {"doc_id", "epoch", "split", "win_idx", "chunk"} <= set(prepped.columns)
+    rows = prepped.select("doc_id", "split", "epoch").distinct().collect()
+    splits = {r["doc_id"]: r["split"] for r in rows}
+    assert set(splits.values()) == {"train", "holdout"}
+    # holdout docs: exactly one epoch (0), even for the doubled src0 domain
+    hold_epochs = {r["epoch"] for r in rows if r["split"] == "holdout"}
+    assert hold_epochs == {0}
+    # a src0 train doc is epoch-doubled
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src0 = {r.doc_id for r in docs.where("source = 'src0'").collect()}
+    doubled = [d for d, s in splits.items() if s == "train" and d in src0]
+    assert doubled
+    eps = {r["epoch"] for r in rows if r["doc_id"] == doubled[0]}
+    assert eps == {0, 1}
