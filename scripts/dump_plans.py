@@ -193,6 +193,21 @@ def main() -> None:
         )
     )
 
+    from kgtm.paragraphs import paragraph_dedup
+
+    sections.append(
+        (
+            "paragraph_dedup (C4-style corpus-global paragraph dedup)",
+            "What to check: exactly TWO hashpartitioning exchanges — the "
+            "digest aggregate (partial_min below the exchange: a paragraph "
+            "duplicated a billion times reaches its reducer pre-combined, "
+            "one row per upstream partition) and the per-doc reassembly. "
+            "No Window over the hot digest key, no join back (the "
+            "aggregate output IS the survivor set), no UDF.",
+            formatted(paragraph_dedup(docs)),
+        )
+    )
+
     out = ["# PLANS — physical plans of the headline operators\n"]
     out.append(
         "Generated by `python scripts/dump_plans.py` (sf0.01 input; plan\n"

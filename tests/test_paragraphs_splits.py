@@ -239,3 +239,87 @@ def test_prep_cli_paradedup_split_subprocess(tmp_path, spark):
     assert doubled
     eps = {r["epoch"] for r in rows if r["doc_id"] == doubled[0]}
     assert eps == {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# plan shape — the 100 TB contract, structurally asserted
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_plan_two_exchanges_no_window_no_join(spark, documents):
+    """paragraph_dedup's scale contract: exactly two shuffles (digest agg,
+    doc reassembly), survivor pick as a map-side-combinable HashAggregate —
+    never a Window sort over the (hot) digest key, never a join back, no
+    Python UDF anywhere."""
+    from kgtm.paragraphs import paragraph_dedup
+
+    plan = paragraph_dedup(documents)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan
+    # min-struct survivor pick is a partial/final HashAggregate pair: the
+    # partial (map-side) half must sit below the digest exchange
+    digest_below = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "partial_min" in plan and "HashAggregate" in digest_below
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_assign_plan_fuses_into_scan(spark, documents):
+    """split_assign is a scan-fused projection: zero exchanges, zero joins."""
+    from kgtm.mixture import split_assign
+
+    plan = split_assign(documents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property: the DuckDB twin == a pure-Python reference walk (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def _ref_paragraph_dedup(rows, sep="\n", min_chars=3):
+    """First-occurrence paragraph dedup as a direct sequential walk in
+    (doc_id, pos) order. Candidate = len(para.strip(' ')) >= min_chars
+    (Spark/DuckDB trim remove spaces only, not tabs)."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        paras = text.split(sep)
+        kept = []
+        for para in paras:
+            if len(para.strip(" ")) >= min_chars:
+                if para in seen:
+                    continue
+                seen.add(para)
+            kept.append(para)
+        if kept:
+            out[doc_id] = (sep.join(kept), len(paras), len(kept))
+    return out
+
+
+def test_paragraph_dedup_twin_matches_reference_walk_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgtm import oracles
+
+    para_text = st.text(alphabet="ab \n\t", max_size=30)
+    corpus = st.lists(para_text, min_size=1, max_size=8)
+
+    @settings(max_examples=150, deadline=None)
+    @given(corpus)
+    def run(texts):
+        rows = list(enumerate(texts))
+        planted = pd.DataFrame(rows, columns=["doc_id", "text"])
+        con = _duck(planted=planted)
+        got = {
+            int(d): (t, int(np), int(nk))
+            for d, t, np, nk in con.execute(
+                oracles.q_paragraph_dedup(min_chars=3)
+            ).fetchall()
+        }
+        assert got == _ref_paragraph_dedup(rows)
+
+    run()
