@@ -48,6 +48,8 @@ __all__ = [
     "paragraph_dedup",
     "split_assign",
     "leakage_safe_split",
+    "unigram_counts",
+    "unigram_nll",
 ]
 
 
@@ -84,6 +86,10 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm.repetition import repetition_signals
 
         return repetition_signals
+    if name in ("unigram_counts", "unigram_nll"):
+        from kgtm import lm
+
+        return getattr(lm, name)
     if name == "paragraph_dedup":
         from kgtm.paragraphs import paragraph_dedup
 

@@ -1,0 +1,103 @@
+"""Unigram language-model quality scoring (CCNet-style perplexity filter).
+
+Reference scope note: the reference engine (dbpedia/ontology-time-machine)
+has no corpus-prep tier; this module extends the LLM-training-data suite.
+CCNet/RedPajama-class pipelines score every document against a language
+model trained on a trusted corpus and filter (or bucket) by perplexity; a
+full KenLM is out of scope for a Spark-native engine with no native deps,
+so this is the honest unigram member of that family — deterministic,
+cross-engine reproducible, and labeled as exactly what it is. Scores are
+mean negative log2 probability per token (``nll_bits`` — bits/token;
+perplexity = 2^nll_bits).
+
+Model: p(w) = cnt(w) / N over the model corpus's whitespace tokens
+(kgtm.textstats.words_col_guarded — the one tokenization contract shared
+with packing/repetition and every DuckDB twin). With a ``top_v`` vocabulary
+cap, out-of-vocabulary tokens score at the floor p = 1/N (one pseudo-count
+against the full corpus mass); N stays the UNCAPPED total so capping never
+rescales in-vocabulary probabilities.
+
+Scale shape (100 TB):
+
+  - model counts: one explode → groupBy(word) shuffle with map-side
+    combine (hot stopwords arrive pre-combined);
+  - the corpus-total N is a one-row aggregate joined in as a broadcast
+    scalar (never a driver collect);
+  - ``top_v`` selection is a distributed TakeOrderedAndProject
+    (orderBy+limit — NOT a single-partition window), deterministic via the
+    (cnt desc, word asc) tie-break;
+  - scoring: explode → LEFT JOIN the vocabulary. With ``top_v`` the vocab
+    is bounded by construction and EXPLICITLY broadcast — the 10^12-token
+    scoring side never shuffles for the lookup; uncapped (oracle mode) it
+    is a plain shuffle join, AQE-safe because the vocab side holds one row
+    per word. One final groupBy(doc_id) folds the per-token bits.
+
+Docs with zero tokens have no rows to score and are omitted (same GROUP BY
+semantics in the DuckDB twin, kgtm.oracles.q_unigram_nll).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgtm.textstats import words_col_guarded
+
+
+def unigram_counts(
+    df: DataFrame, text_col: str = "text", top_v: int | None = None
+) -> DataFrame:
+    """(word, cnt) over the corpus's whitespace tokens; ``top_v`` keeps the
+    most frequent words with a deterministic (cnt desc, word asc) tie-break
+    via distributed top-k (orderBy+limit), never a one-partition window."""
+    flat = df.select(F.explode(words_col_guarded(F.col(text_col))).alias("word"))
+    cnts = flat.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    if top_v is not None:
+        if top_v <= 0:
+            raise ValueError(f"top_v must be positive: {top_v}")
+        cnts = cnts.orderBy(F.desc("cnt"), F.asc("word")).limit(top_v)
+    return cnts
+
+
+def unigram_nll(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, nll_bits): mean -log2 p(token) per doc
+    under the unigram model of ``model_df`` (defaults to ``df`` itself —
+    self-scoring, where uncapped runs have no OOV by construction).
+    ``nll_bits`` rounds to 6 dp; perplexity = 2^nll_bits."""
+    model = df if model_df is None else model_df
+    full = unigram_counts(model, text_col=text_col)
+    # N = total UNCAPPED token mass, folded in as a broadcast one-row scalar
+    total = full.agg(F.sum("cnt").cast("double").alias("_n"))
+    if top_v:
+        if top_v <= 0:
+            raise ValueError(f"top_v must be positive: {top_v}")
+        vocab = F.broadcast(full.orderBy(F.desc("cnt"), F.asc("word")).limit(top_v))
+    else:
+        vocab = full
+    scored = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words_col_guarded(F.col(text_col))).alias("word"),
+        )
+        .join(vocab, "word", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("cnt").isNull().cast("int").alias("is_oov"),
+            # OOV floor: one pseudo-count against the full corpus mass
+            (-F.log2(F.coalesce(F.col("cnt").cast("double"), F.lit(1.0)) / F.col("_n"))).alias(
+                "bits"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_oov").cast("bigint").alias("n_oov"),
+        F.round(F.avg("bits"), 6).alias("nll_bits"),
+    )

@@ -1529,3 +1529,31 @@ def q_leakage_safe_split(
       FROM documents d
       JOIN ({q_dedup_clusters(threshold)}) c ON d.doc_id = c.id
     """
+
+
+def q_unigram_nll(top_v: int | None = None) -> str:
+    """Value-checked twin of kgtm.lm.unigram_nll (self-scoring: model corpus
+    == scored corpus == documents): unigram counts over the shared
+    tokenization contract, N = uncapped total mass, optional top-v vocab
+    with the (cnt desc, word asc) tie-break, OOV floor 1/N, mean -log2
+    rounded to 6 dp. Zero-token docs vanish from the GROUP BY on both
+    engines."""
+    vocab = (
+        f"SELECT w, c FROM cnts ORDER BY c DESC, w ASC LIMIT {top_v}"
+        if top_v
+        else "SELECT w, c FROM cnts"
+    )
+    return f"""
+      WITH {_DUCK_WORDS_CTE},
+      flat AS (SELECT doc_id, unnest(words) AS w FROM docs),
+      cnts AS (SELECT w, count(*) AS c FROM flat GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnts),
+      vocab AS ({vocab})
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             round(avg(-log2(coalesce(CAST(v.c AS DOUBLE), 1.0) / tot.n)), 6)
+               AS nll_bits
+      FROM flat LEFT JOIN vocab v ON flat.w = v.w, tot
+      GROUP BY doc_id
+    """
