@@ -45,28 +45,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def paragraph_dedup(
+def candidate_cond(min_chars: int) -> "F.Column":
+    """A paragraph is a dedup candidate iff its space-trimmed length clears
+    ``min_chars`` — the one predicate shared by the batch and streaming
+    paths and the DuckDB twin."""
+    return F.length(F.trim(F.col("para"))) >= F.lit(min_chars)
+
+
+def exploded_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, [extra_cols...,] n_paras, pos, para): one row per paragraph
+    in document order. ``sep`` is a LITERAL separator (quoted with \\Q..\\E
+    for Java regex — matching DuckDB's string_split); limit -1 keeps
+    trailing empties so a duplicate-free corpus reassembles
+    byte-identically. ``extra_cols`` pass through (e.g. the event-time
+    column the streaming variant watermarks on)."""
+    pat = "\\Q" + sep + "\\E"
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *extra_cols,
+        F.split(F.col(text_col), pat, -1).alias("_paras"),
+    ).select(
+        "doc_id",
+        *extra_cols,
+        F.size("_paras").alias("n_paras"),
+        F.posexplode("_paras").alias("pos", "para"),
+    )
+
+
+def kept_paragraphs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n",
     min_chars: int = 20,
 ) -> DataFrame:
-    """(doc_id, text, n_paras, n_kept): corpus-global first-occurrence
-    paragraph dedup. ``sep`` is a LITERAL separator (quoted with \\Q..\\E
-    for Java regex), matching DuckDB's string_split in the oracle twin."""
-    # \Q..\E literal-quotes sep for Java regex; limit -1 keeps trailing
-    # empties so a duplicate-free corpus reassembles byte-identically.
-    pat = "\\Q" + sep + "\\E"
-    ex = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), pat, -1).alias("_paras"),
-    ).select(
-        "doc_id",
-        F.size("_paras").alias("n_paras"),
-        F.posexplode("_paras").alias("pos", "para"),
-    )
-    is_cand = F.length(F.trim(F.col("para"))) >= F.lit(min_chars)
+    """(doc_id, pos, n_paras, para): the surviving paragraph rows —
+    non-candidates in place plus the corpus-global first occurrence of
+    every candidate digest."""
+    ex = exploded_paragraphs(df, text_col, id_col, sep)
+    is_cand = candidate_cond(min_chars)
     # survivor per digest = min (doc_id, pos); the struct carries n_paras
     # and the paragraph text so no join back is needed. (doc_id, pos) is a
     # unique prefix, so the trailing fields never influence the ordering.
@@ -76,7 +99,15 @@ def paragraph_dedup(
         .agg(F.min(F.struct("doc_id", "pos", "n_paras", "para")).alias("first"))
         .select("first.doc_id", "first.pos", "first.n_paras", "first.para")
     )
-    kept = ex.filter(~is_cand).select("doc_id", "pos", "n_paras", "para").unionByName(survivors)
+    return ex.filter(~is_cand).select("doc_id", "pos", "n_paras", "para").unionByName(
+        survivors
+    )
+
+
+def reassemble_paragraphs(kept: DataFrame, sep: str = "\n") -> DataFrame:
+    """(doc_id, text, n_paras, n_kept): fold kept paragraph rows back into
+    documents in original paragraph order. Docs with zero kept rows vanish
+    from the GROUP BY (C4 drops empty docs too)."""
     return kept.groupBy("doc_id").agg(
         F.concat_ws(
             sep,
@@ -87,4 +118,18 @@ def paragraph_dedup(
         ).alias("text"),
         F.first("n_paras").alias("n_paras"),
         F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 20,
+) -> DataFrame:
+    """(doc_id, text, n_paras, n_kept): corpus-global first-occurrence
+    paragraph dedup — kept_paragraphs ∘ reassemble_paragraphs."""
+    return reassemble_paragraphs(
+        kept_paragraphs(df, text_col, id_col, sep, min_chars), sep
     )

@@ -105,12 +105,21 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.signals_out:
         with mc.stage("signals"):
+            from kgtm.lm import unigram_nll
+
             sig = (
                 repetition_filter(docs, thresholds)
                 .join(pii_signals(docs), "doc_id")
                 .join(
                     quality_features(docs.select("doc_id", "text")).drop("text"),
                     "doc_id",
+                )
+                # left join: unigram_nll omits zero-token docs, the signal
+                # table must still carry one row per document
+                .join(
+                    unigram_nll(docs).select("doc_id", "nll_bits"),
+                    "doc_id",
+                    "left",
                 )
             )
             report["signals_commit"] = write_table(

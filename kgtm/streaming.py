@@ -517,3 +517,59 @@ def reconcile_neardup_survivors(
         winner["id"].alias("keep_id"),
         (F.col("id") == winner["id"]).alias("keep"),
     )
+
+
+def streaming_paragraph_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    sep: str = "\n",
+    min_chars: int = 20,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Bounded-state streaming PARAGRAPH dedup — the ingest-side analog of
+    kgtm.paragraphs.paragraph_dedup (C4-style boilerplate removal).
+
+    Emits the kept paragraph rows (doc_id, ts, n_paras, pos, para): every
+    sub-``min_chars`` paragraph in place, plus the first in-watermark
+    arrival of each candidate paragraph digest
+    (dropDuplicatesWithinWatermark on md5(para) — state evicts with the
+    watermark, exactly the bound of the exact/minhash doc-level variants).
+
+    Deliberate contract differences vs the batch operator, stated plainly:
+      - SURVIVOR PICK: batch keeps the corpus-global min (doc_id, pos);
+        the stream keeps the first ARRIVAL (within a micro-batch the pick
+        is engine-arbitrary — assert key sets, never which copy).
+      - LATE DUPLICATES: a copy arriving after its digest's state evicted
+        is kept; the batch pass over the materialized kept-paragraph table
+        is the completeness backstop (same straggler contract as
+        streaming_exact_dedup).
+      - REASSEMBLY is not part of the streaming query (chaining a second
+        stateful aggregation after dropDuplicatesWithinWatermark is where
+        streaming multi-statefulness gets restriction-prone): fold the
+        materialized kept rows with kgtm.paragraphs.reassemble_paragraphs
+        downstream — documents whose paragraphs were all dropped vanish
+        there, as in batch.
+
+    State is keyed by the 128-bit digest, never the paragraph text; the
+    explode multiplies rows but every post-explode column is fixed-width
+    except the kept paragraph itself.
+    """
+    from kgtm.paragraphs import candidate_cond, exploded_paragraphs
+
+    ex = exploded_paragraphs(
+        stream.withWatermark(ts_col, watermark),
+        text_col=text_col,
+        id_col=id_col,
+        sep=sep,
+        extra_cols=(ts_col,),
+    )
+    is_cand = candidate_cond(min_chars)
+    kept_cand = (
+        ex.filter(is_cand)
+        .withColumn("_pd_key", F.md5("para"))
+        .dropDuplicatesWithinWatermark(["_pd_key"])
+        .drop("_pd_key")
+    )
+    return kept_cand.unionByName(ex.filter(~is_cand))

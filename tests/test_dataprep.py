@@ -492,7 +492,7 @@ def test_prep_cli_end_to_end_subprocess(spark, tmp_path):
         eps = {r.epoch for r in prepped.where(f"doc_id = {d}").collect()}
         assert eps == {0, 1}
     sig = read_table(spark, str(tmp_path / "signals"), table="doc_signals")
-    assert {"keep", "n_pii", "quality_score"} <= set(sig.columns)
+    assert {"keep", "n_pii", "quality_score", "nll_bits"} <= set(sig.columns)
     assert sig.count() == docs.count()
 
 

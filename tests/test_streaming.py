@@ -453,3 +453,48 @@ def test_reconcile_neardup_backstop(spark):
     ).collect()
     assert all(r.keep for r in again)
     assert {r.doc_id for r in again} == set(kept_ids)
+
+
+def test_streaming_paragraph_dedup_keeps_one_per_digest(spark, tmp_path):
+    """Streaming paragraph dedup: exactly one kept copy per candidate
+    digest across micro-batches, non-candidates always kept in place, and
+    the kept digest set equals the batch kept_paragraphs digest set on the
+    same corpus (survivor IDENTITY may differ — arrival vs min-(doc,pos) —
+    so only key sets are asserted, per the file-folding gotcha)."""
+    import datetime as dt
+
+    from kgtm.paragraphs import kept_paragraphs
+    from kgtm.streaming import run_stream_to_parquet, streaming_paragraph_dedup
+
+    t0 = dt.datetime(2024, 7, 1)
+    boiler = "accept all cookies to continue browsing this site"
+    rows1 = [
+        (1, boiler + "\nunique first document body paragraph", t0),
+        (2, "another wholly unique paragraph body\n##", t0),
+    ]
+    rows2 = [
+        (3, boiler + "\nthird document unique paragraph text", t0),
+        (4, "##\n" + boiler, t0),  # short dup "##" must survive; boiler must not
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    in_dir = str(tmp_path / "pd_in")
+    spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(in_dir)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out_dir, ck = str(tmp_path / "pd_out"), str(tmp_path / "pd_ck")
+    run_stream_to_parquet(streaming_paragraph_dedup(stream), out_dir, ck)
+    got = spark.read.parquet(out_dir)
+
+    assert set(got.columns) == {"doc_id", "ts", "n_paras", "pos", "para"}
+    kept = [(r["doc_id"], r["pos"], r["para"]) for r in got.collect()]
+    # exactly one boilerplate copy survived (it appeared in docs 1, 3, 4)
+    assert sum(1 for _, _, p in kept if p == boiler) == 1
+    # both '##' non-candidates survive in place
+    assert sorted((d, pos) for d, pos, p in kept if p == "##") == [(2, 1), (4, 0)]
+    # kept paragraph SET == batch operator's kept set on the union corpus
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    batch_kept = {
+        r["para"] for r in kept_paragraphs(batch_df.select("doc_id", "text")).collect()
+    }
+    assert {p for _, _, p in kept} == batch_kept
