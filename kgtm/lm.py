@@ -33,7 +33,10 @@ Scale shape (100 TB):
     per word. One final groupBy(doc_id) folds the per-token bits.
 
 Docs with zero tokens have no rows to score and are omitted (same GROUP BY
-semantics in the DuckDB twin, kgtm.oracles.q_unigram_nll).
+semantics in the DuckDB twin, kgtm.oracles.q_unigram_nll). Tokens are the
+shared whitespace contract minus empty strings — see _lm_tokens for why
+the phantom-''-token quirk of space-only trimming must not reach a
+perplexity filter (whitespace-only docs therefore also drop out).
 """
 
 from __future__ import annotations
@@ -44,19 +47,33 @@ from pyspark.sql import functions as F
 from kgtm.textstats import words_col_guarded
 
 
+def _lm_tokens(text_col: str) -> "F.Column":
+    """LM tokens = the shared whitespace contract MINUS empty strings: the
+    space-only trim in words_col_guarded lets text with leading/trailing
+    \\t or \\n emit '' phantom tokens, which would hand every
+    whitespace-padded document a near-free high-frequency token and skew
+    the perplexity filter toward exactly the junk it exists to catch.
+    Filtered here (and in the twin's flat CTE) rather than in the shared
+    contract, whose quirk the other operators' DuckDB twins mirror."""
+    return F.filter(words_col_guarded(F.col(text_col)), lambda w: w != "")
+
+
+def _cap_vocab(cnts: DataFrame, top_v: int) -> DataFrame:
+    """The one definition of the top-v cut: (cnt desc, word asc) tie-break
+    via distributed top-k (orderBy+limit), never a one-partition window."""
+    if top_v <= 0:
+        raise ValueError(f"top_v must be positive: {top_v}")
+    return cnts.orderBy(F.desc("cnt"), F.asc("word")).limit(top_v)
+
+
 def unigram_counts(
     df: DataFrame, text_col: str = "text", top_v: int | None = None
 ) -> DataFrame:
-    """(word, cnt) over the corpus's whitespace tokens; ``top_v`` keeps the
-    most frequent words with a deterministic (cnt desc, word asc) tie-break
-    via distributed top-k (orderBy+limit), never a one-partition window."""
-    flat = df.select(F.explode(words_col_guarded(F.col(text_col))).alias("word"))
+    """(word, cnt) over the corpus's non-empty whitespace tokens; ``top_v``
+    keeps the most frequent words (_cap_vocab's deterministic tie-break)."""
+    flat = df.select(F.explode(_lm_tokens(text_col)).alias("word"))
     cnts = flat.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    if top_v is not None:
-        if top_v <= 0:
-            raise ValueError(f"top_v must be positive: {top_v}")
-        cnts = cnts.orderBy(F.desc("cnt"), F.asc("word")).limit(top_v)
-    return cnts
+    return _cap_vocab(cnts, top_v) if top_v is not None else cnts
 
 
 def unigram_nll(
@@ -74,16 +91,11 @@ def unigram_nll(
     full = unigram_counts(model, text_col=text_col)
     # N = total UNCAPPED token mass, folded in as a broadcast one-row scalar
     total = full.agg(F.sum("cnt").cast("double").alias("_n"))
-    if top_v:
-        if top_v <= 0:
-            raise ValueError(f"top_v must be positive: {top_v}")
-        vocab = F.broadcast(full.orderBy(F.desc("cnt"), F.asc("word")).limit(top_v))
-    else:
-        vocab = full
+    vocab = F.broadcast(_cap_vocab(full, top_v)) if top_v is not None else full
     scored = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(words_col_guarded(F.col(text_col))).alias("word"),
+            F.explode(_lm_tokens(text_col)).alias("word"),
         )
         .join(vocab, "word", "left")
         .crossJoin(F.broadcast(total))

@@ -1537,7 +1537,8 @@ def q_unigram_nll(top_v: int | None = None) -> str:
     tokenization contract, N = uncapped total mass, optional top-v vocab
     with the (cnt desc, word asc) tie-break, OOV floor 1/N, mean -log2
     rounded to 6 dp. Zero-token docs vanish from the GROUP BY on both
-    engines."""
+    engines. The flat CTE drops '' tokens (the space-only-trim phantom —
+    see kgtm.lm._lm_tokens), so whitespace-only docs are omitted too."""
     vocab = (
         f"SELECT w, c FROM cnts ORDER BY c DESC, w ASC LIMIT {top_v}"
         if top_v
@@ -1545,7 +1546,9 @@ def q_unigram_nll(top_v: int | None = None) -> str:
     )
     return f"""
       WITH {_DUCK_WORDS_CTE},
-      flat AS (SELECT doc_id, unnest(words) AS w FROM docs),
+      flat AS (SELECT doc_id, w
+               FROM (SELECT doc_id, unnest(words) AS w FROM docs)
+               WHERE w != ''),
       cnts AS (SELECT w, count(*) AS c FROM flat GROUP BY w),
       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnts),
       vocab AS ({vocab})

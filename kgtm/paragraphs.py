@@ -20,7 +20,10 @@ Semantics (first-occurrence-wins, corpus-global):
     (doc_id, pos) survives; every other copy is dropped from its document;
   - each document's text is reassembled from its kept paragraphs in
     original order, joined with ``sep``; documents left with zero kept
-    paragraphs are dropped from the output (C4 drops empty docs too).
+    paragraphs are dropped from the output (C4 drops empty docs too);
+  - NULL-text documents explode to no paragraph rows and are dropped
+    (split(NULL) — the DuckDB twin's unnest over a NULL split agrees,
+    pytest-pinned).
 
 Scale shape (100 TB): exactly two shuffles, both skew-safe.
 

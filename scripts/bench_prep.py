@@ -11,37 +11,22 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# the protocol (warm-up, median-of-REPS fresh plans, spread) is bench.py's —
+# imported, not re-implemented, so the two benches cannot drift
+from bench import REPS, timed_median  # noqa: E402
 from kgtm.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPS = 3
-
-
-def median(xs):
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def timed(build):
-    def force(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    force(build())  # warm-up, discarded
-    ts = []
-    for _ in range(REPS):
-        df = build()
-        t0 = time.monotonic()
-        force(df)
-        ts.append(time.monotonic() - t0)
-    m = median(ts)
-    return round(m, 3), round((max(ts) - min(ts)) / m, 3)
+    med, spread = timed_median(build)
+    return round(med, 3), round(spread, 3)
 
 
 def main():

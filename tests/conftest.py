@@ -28,3 +28,21 @@ def documents(spark):
 @pytest.fixture(scope="session")
 def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def duck_docs(parquet_docs: str | None = None, planted=None):
+    """DuckDB connection with a `documents` view over either a parquet dir
+    or a planted pandas frame — the shared oracle-twin harness for the
+    data-prep operator tests (one definition; test modules import it)."""
+    import duckdb
+
+    con = duckdb.connect()
+    if parquet_docs is not None:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{parquet_docs}/documents.parquet')"
+        )
+    if planted is not None:
+        con.register("planted_df", planted)
+        con.execute("CREATE VIEW documents AS SELECT * FROM planted_df")
+    return con

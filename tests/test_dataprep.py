@@ -6,24 +6,12 @@ hand-planted invariants.
 
 from __future__ import annotations
 
-import duckdb
 import pandas as pd
 import pytest
 
+from conftest import duck_docs as _duck
+
 SF = "/root/testdata/sf0.001"
-
-
-def _duck(parquet_docs: str | None = None, planted: pd.DataFrame | None = None):
-    con = duckdb.connect()
-    if parquet_docs is not None:
-        con.execute(
-            "CREATE VIEW documents AS SELECT * FROM "
-            f"read_parquet('{parquet_docs}/documents.parquet')"
-        )
-    if planted is not None:
-        con.register("planted_df", planted)
-        con.execute("CREATE VIEW documents AS SELECT * FROM planted_df")
-    return con
 
 
 # ---------------------------------------------------------------------------

@@ -4,23 +4,11 @@ from __future__ import annotations
 
 import math
 
-import duckdb
 import pandas as pd
 
+from conftest import duck_docs as _duck
+
 SF = "/root/testdata/sf0.001"
-
-
-def _duck(parquet_docs=None, planted=None):
-    con = duckdb.connect()
-    if parquet_docs is not None:
-        con.execute(
-            "CREATE VIEW documents AS SELECT * FROM "
-            f"read_parquet('{parquet_docs}/documents.parquet')"
-        )
-    if planted is not None:
-        con.register("planted_df", planted)
-        con.execute("CREATE VIEW documents AS SELECT * FROM planted_df")
-    return con
 
 
 LM_COLS = ["doc_id", "n_tokens", "n_oov", "nll_bits"]
@@ -102,3 +90,18 @@ def test_unigram_nll_capped_plan_broadcasts_vocab(spark, documents):
     # top-k is distributed, never a one-partition window
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_unigram_nll_whitespace_docs_no_phantom_tokens(spark):
+    """Leading/trailing tab-or-newline text must not emit '' phantom tokens
+    (they would hand whitespace-padded junk a near-free high-frequency
+    token); whitespace-only docs drop out entirely. Twin agrees."""
+    rows = [(1, "\thello world"), (2, "\t"), (3, "hello\n")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _lm_rows(df)
+    # counts: hello=2 world=1, N=3; doc 2 omitted (zero real tokens)
+    exp1 = round(-(math.log2(2 / 3) + math.log2(1 / 3)) / 2, 6)
+    exp3 = round(-math.log2(2 / 3), 6)
+    assert got == [(1, 2, 0, exp1), (3, 1, 0, exp3)]
+    planted = pd.DataFrame(rows, columns=["doc_id", "text"])
+    assert got == _lm_oracle_rows(_duck(planted=planted))

@@ -5,23 +5,11 @@ at 50 queries) plus hand-planted invariants.
 
 from __future__ import annotations
 
-import duckdb
 import pandas as pd
 
+from conftest import duck_docs as _duck
+
 SF = "/root/testdata/sf0.001"
-
-
-def _duck(parquet_docs: str | None = None, planted: pd.DataFrame | None = None):
-    con = duckdb.connect()
-    if parquet_docs is not None:
-        con.execute(
-            "CREATE VIEW documents AS SELECT * FROM "
-            f"read_parquet('{parquet_docs}/documents.parquet')"
-        )
-    if planted is not None:
-        con.register("planted_df", planted)
-        con.execute("CREATE VIEW documents AS SELECT * FROM planted_df")
-    return con
 
 
 # ---------------------------------------------------------------------------
@@ -323,3 +311,14 @@ def test_paragraph_dedup_twin_matches_reference_walk_hypothesis():
         assert got == _ref_paragraph_dedup(rows)
 
     run()
+
+
+def test_paragraph_dedup_null_text_dropped_both_engines(spark):
+    """NULL text: split(NULL) explodes to no rows, so the doc vanishes —
+    and the DuckDB twin agrees (unnest over a NULL split)."""
+    rows = [(1, None), (2, "a real surviving paragraph body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _pd_rows(df)
+    assert got == [(2, rows[1][1], 1, 1)]
+    planted = pd.DataFrame(rows, columns=["doc_id", "text"])
+    assert got == _pd_oracle_rows(_duck(planted=planted))
