@@ -50,6 +50,7 @@ __all__ = [
     "leakage_safe_split",
     "unigram_counts",
     "unigram_nll",
+    "pagerank",
 ]
 
 
@@ -86,6 +87,10 @@ def __getattr__(name):  # PEP 562 lazy re-exports
         from kgtm.repetition import repetition_signals
 
         return repetition_signals
+    if name == "pagerank":
+        from kgtm.graph import pagerank
+
+        return pagerank
     if name in ("unigram_counts", "unigram_nll"):
         from kgtm import lm
 

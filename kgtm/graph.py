@@ -95,3 +95,92 @@ def mention_contexts(
         .select("conv_id", "turn_idx", "surface", "ontology_iri")
         .join(ctx, ["conv_id", "turn_idx"])
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """(node, rank): entity salience over the triple graph — power-iteration
+    PageRank with parallel edges as weight (an entity asserted about twice
+    pulls twice the mass) and full dangling-mass redistribution, so ranks
+    sum to 1 every iteration.
+
+    The salience ranking a KG consumer sorts entities by; no native Spark
+    equivalent (GraphX is RDD/Scala-only), so this is the DataFrame-native
+    formulation:
+
+      rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/outdeg(u) + dangling/N)
+
+    Scale shape (per iteration): ONE shuffle join of the edge table with the
+    current rank vector on src (both sides re-partition on the same key, AQE
+    splits skewed hot-source partitions) + ONE groupBy(dst) with map-side
+    combine — a super-node receiving 10^8 edges arrives pre-summed per
+    upstream partition. The dangling mass and N are one-row aggregates
+    folded in as broadcast scalars (never a driver collect); each iteration
+    ends in an EAGER localCheckpoint (same lineage-cut discipline as
+    canonicalize.connected_components_star — 10 iterations would otherwise
+    stack a 10-deep join lineage into one giant plan).
+
+    Determinism note: float summation order varies with partitioning, so
+    ranks are reproducible to ~1e-12 relative, not bit-for-bit — the pytest
+    twin (numpy power iteration on the same edge list) compares at 1e-9.
+    """
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError(f"damping must be in [0, 1]: {damping}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0: {n_iter}")
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    outw = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("_outw")
+    )
+    # rank vector carries its out-weight (NULL for dangling nodes) so the
+    # per-iteration join count stays at one
+    ranks = (
+        nodes.join(outw, "node", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select("node", (F.lit(1.0) / F.col("_n")).alias("rank"), "_outw")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        in_mass = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("_outw")).alias("m"))
+            .groupBy("dst")
+            .agg(F.sum("m").alias("_in"))
+        )
+        dangling = ranks.filter(F.col("_outw").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+        )
+        ranks = (
+            ranks.join(in_mass, ranks["node"] == in_mass["dst"], "left")
+            .crossJoin(F.broadcast(n_total))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("_n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dangling") / F.col("_n")
+                    )
+                ).alias("rank"),
+                "_outw",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")

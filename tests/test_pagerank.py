@@ -1,0 +1,90 @@
+"""PageRank entity salience: numpy power-iteration twin + invariants.
+
+No DuckDB twin here (10 float iterations in recursive SQL would pin the
+oracle to summation order); the reference implementation is an independent
+dense numpy power iteration over the same edge list, compared at 1e-9 —
+the same float-tolerance discipline as the ANN cosine tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _np_pagerank(edges, damping=0.85, n_iter=10):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outw = np.zeros(n)
+    for s, _ in edges:
+        outw[idx[s]] += 1.0
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        in_mass = np.zeros(n)
+        for s, d in edges:
+            in_mass[idx[d]] += rank[idx[s]] / outw[idx[s]]
+        dangling = rank[outw == 0].sum()
+        rank = (1 - damping) / n + damping * (in_mass + dangling / n)
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+EDGES = [
+    ("a", "b"), ("a", "b"), ("a", "c"),   # parallel edge: a->b weight 2
+    ("b", "c"),
+    ("c", "a"),
+    ("d", "c"),                            # d: source-only
+    ("b", "e"),                            # e: dangling (no out-edges)
+]
+
+
+def _spark_ranks(spark, edges, **kw):
+    from kgtm.graph import pagerank
+
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    got = _spark_ranks(spark, EDGES)
+    want = _np_pagerank(EDGES)
+    assert set(got) == set(want)
+    for node, r in want.items():
+        assert got[node] == pytest.approx(r, abs=1e-9)
+    # mass conservation: full dangling redistribution keeps the sum at 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_on_flagship_triples_ranks_hub_highest(spark, events):
+    from kgtm.graph import pagerank
+    from kgtm.pipeline import build_triples
+    from kgtm.transcripts import (
+        events_to_transcripts,
+        ontology_index_df,
+        ontology_snapshots_df,
+    )
+
+    triples = build_triples(
+        events_to_transcripts(events),
+        ontology_index_df(spark),
+        ontology_snapshots_df(spark),
+    )
+    edges = [(r["subj"], r["obj"]) for r in triples.select("subj", "obj").collect()]
+    got = {r["node"]: r["rank"] for r in pagerank(triples).collect()}
+    want = _np_pagerank(edges)
+    assert set(got) == set(want)
+    for node, r in want.items():
+        assert got[node] == pytest.approx(r, rel=1e-9, abs=1e-12)
+    # ranking order (the consumer-visible contract) identical
+    got_order = sorted(got, key=lambda k: (-got[k], k))
+    want_order = sorted(want, key=lambda k: (-want[k], k))
+    assert got_order == want_order
+
+
+def test_pagerank_zero_iterations_is_uniform_and_args_validated(spark):
+    got = _spark_ranks(spark, EDGES, n_iter=0)
+    assert all(r == pytest.approx(1.0 / len(got)) for r in got.values())
+    with pytest.raises(ValueError, match="damping"):
+        _spark_ranks(spark, EDGES, damping=1.5)
+    with pytest.raises(ValueError, match="n_iter"):
+        _spark_ranks(spark, EDGES, n_iter=-1)
