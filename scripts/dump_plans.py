@@ -208,6 +208,21 @@ def main() -> None:
         )
     )
 
+    from kgtm.lm import unigram_nll
+
+    sections.append(
+        (
+            "unigram_nll top_v=65536 (CCNet-style perplexity filter, production shape)",
+            "What to check: the vocabulary side ends in an explicit "
+            "BroadcastExchange below a single BroadcastHashJoin — the "
+            "scoring (10^12-token) side never shuffles for the lookup; the "
+            "top-v cut is a distributed TakeOrderedAndProject, never a "
+            "one-partition Window; N and the token counts reduce through "
+            "partial HashAggregates (map-side combine on hot stopwords).",
+            formatted(unigram_nll(docs, top_v=65536)),
+        )
+    )
+
     out = ["# PLANS — physical plans of the headline operators\n"]
     out.append(
         "Generated by `python scripts/dump_plans.py` (sf0.01 input; plan\n"
