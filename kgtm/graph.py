@@ -133,9 +133,17 @@ def pagerank(
         raise ValueError(f"damping must be in [0, 1]: {damping}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0: {n_iter}")
-    e = edges.select(
-        F.col(src_col).cast("string").alias("src"),
-        F.col(dst_col).cast("string").alias("dst"),
+    # NULL endpoints would leak rank mass every iteration (non-null-safe
+    # joins route their share to a phantom node that never joins back), so
+    # they are excluded up front; eager checkpoint so the upstream plan
+    # (e.g. the full triple pipeline) runs ONCE, not once per iteration.
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))

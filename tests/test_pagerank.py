@@ -88,3 +88,19 @@ def test_pagerank_zero_iterations_is_uniform_and_args_validated(spark):
         _spark_ranks(spark, EDGES, damping=1.5)
     with pytest.raises(ValueError, match="n_iter"):
         _spark_ranks(spark, EDGES, n_iter=-1)
+
+
+def test_pagerank_null_endpoints_excluded_and_mass_conserved(spark):
+    from kgtm.graph import pagerank
+
+    rows = EDGES + [("a", None), (None, "b")]
+    df = spark.createDataFrame(rows, "subj string, obj string")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    # NULL never becomes a node, and dropping null-endpoint edges keeps
+    # the graph identical to EDGES — including total mass
+    assert None not in got
+    want = _np_pagerank(EDGES)
+    assert set(got) == set(want)
+    for node, r in want.items():
+        assert got[node] == pytest.approx(r, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
