@@ -92,23 +92,45 @@ def unigram_nll(
     # N = total UNCAPPED token mass, folded in as a broadcast one-row scalar
     total = full.agg(F.sum("cnt").cast("double").alias("_n"))
     vocab = F.broadcast(_cap_vocab(full, top_v)) if top_v is not None else full
-    scored = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_lm_tokens(text_col)).alias("word"),
-        )
-        .join(vocab, "word", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            F.col("cnt").isNull().cast("int").alias("is_oov"),
-            # OOV floor: one pseudo-count against the full corpus mass
-            (-F.log2(F.coalesce(F.col("cnt").cast("double"), F.lit(1.0)) / F.col("_n"))).alias(
-                "bits"
-            ),
-        )
+    return score_unigram_nll(df, vocab, total, text_col=text_col, id_col=id_col)
+
+
+def score_unigram_nll(
+    df: DataFrame,
+    vocab: DataFrame,
+    total: "DataFrame | float",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The scoring half of unigram_nll against a PRE-BUILT (word, cnt)
+    vocabulary — the piece an ingest pipeline runs on a STREAM against a
+    frozen corpus model. ``total`` is the uncapped token mass N: a one-row
+    aggregate DataFrame (batch path — folded in as a broadcast scalar) or
+    a plain float (streaming path — a literal, so the plan stays a pure
+    stream-static left join + windowed aggregation; Structured Streaming
+    callers pass their watermark/window column via ``extra_group_cols`` to
+    satisfy append-mode's event-time-in-grouping rule)."""
+    per_token = df.select(
+        F.col(id_col).alias("doc_id"),
+        *extra_group_cols,
+        F.explode(_lm_tokens(text_col)).alias("word"),
+    ).join(vocab, "word", "left")
+    if isinstance(total, DataFrame):
+        per_token = per_token.crossJoin(F.broadcast(total))
+        n_expr = F.col("_n")
+    else:
+        n_expr = F.lit(float(total))
+    scored = per_token.select(
+        "doc_id",
+        *extra_group_cols,
+        F.col("cnt").isNull().cast("int").alias("is_oov"),
+        # OOV floor: one pseudo-count against the full corpus mass
+        (-F.log2(F.coalesce(F.col("cnt").cast("double"), F.lit(1.0)) / n_expr)).alias(
+            "bits"
+        ),
     )
-    return scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id", *extra_group_cols).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("is_oov").cast("bigint").alias("n_oov"),
         F.round(F.avg("bits"), 6).alias("nll_bits"),

@@ -498,3 +498,63 @@ def test_streaming_paragraph_dedup_keeps_one_per_digest(spark, tmp_path):
         r["para"] for r in kept_paragraphs(batch_df.select("doc_id", "text")).collect()
     }
     assert {p for _, _, p in kept} == batch_kept
+
+
+def test_streaming_unigram_scoring_against_frozen_vocab(spark, tmp_path):
+    """Stream-side LM quality scoring: score_unigram_nll over readStream
+    against a frozen (static) vocabulary — stream-static left join +
+    watermarked windowed aggregation, per-doc nll_bits identical to the
+    batch path with the same model."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kgtm.lm import score_unigram_nll, unigram_counts, unigram_nll
+    from kgtm.streaming import run_stream_to_parquet
+
+    t0 = dt.datetime(2024, 7, 1, 12, 0)
+    model_rows = [(100, "a a b c"), (101, "a b d")]
+    schema = "doc_id long, text string, ts timestamp"
+    model = spark.createDataFrame(
+        [(d, t, t0) for d, t in model_rows], schema
+    ).select("doc_id", "text")
+    vocab = unigram_counts(model).localCheckpoint(eager=True)
+    n_total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
+
+    # docs 1-3 in the noon window; the straggler file's ts sits far enough
+    # ahead that its arrival pushes the watermark past that window's end,
+    # flushing docs 1-3 under append mode (the straggler's own window stays
+    # open and is NOT emitted — asserted below). maxFilesPerTrigger=1 keeps
+    # the files in separate micro-batches so the watermark actually advances
+    # between them (availableNow folds them into one batch otherwise).
+    late = t0 + dt.timedelta(hours=6)
+    score_rows = [(1, "a b z", t0), (2, "c c d", t0), (3, "zz", t0)]
+    in_dir = str(tmp_path / "lm_in")
+    spark.createDataFrame(score_rows, schema).write.mode("overwrite").parquet(in_dir)
+    spark.createDataFrame([(9, "a", late)], schema).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+        .withColumn("win", F.window("ts", "1 hour"))
+    )
+    out_dir, ck = str(tmp_path / "lm_out"), str(tmp_path / "lm_ck")
+    run_stream_to_parquet(
+        score_unigram_nll(stream, vocab, n_total, extra_group_cols=("win",)),
+        out_dir, ck,
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["nll_bits"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    batch_df = spark.createDataFrame(score_rows, schema).select("doc_id", "text")
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["nll_bits"])
+        for r in unigram_nll(batch_df, model_df=model).collect()
+    }
+    assert got == want  # straggler doc 9's window never flushed, by design
+    assert got[1][1] == 1  # 'z' is OOV against the frozen model
+    assert got[3] == (1, 1, round(-__import__("math").log2(1.0 / n_total), 6))
