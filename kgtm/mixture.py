@@ -26,6 +26,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kgtm.dedup import DEFAULT_MAX_SHINGLE_DF as _SHINGLE_DF_DEFAULT
+
 __all__ = [
     "mixture_sample",
     "repetition_filter",
@@ -150,6 +152,15 @@ def split_assign(
     eval side). Zero joins, zero shuffle — fuses into the scan."""
     if not (0.0 <= holdout_frac <= 1.0):
         raise ValueError(f"holdout_frac must be in [0, 1]: {holdout_frac}")
+    if out_col in df.columns:
+        # fail immediately and clearly — 'select *, tag AS split' over a
+        # frame that already carries `split` (stage run twice, re-splitting
+        # a tagged table) would yield duplicate column names and ambiguous
+        # F.col(out_col) errors far downstream.
+        raise ValueError(
+            f"out_col {out_col!r} already exists in the input; drop or "
+            f"rename it (or pass a different out_col) before re-splitting"
+        )
     thresh = int(math.floor(holdout_frac * _HASH_SPACE))
     is_hold = hash32_col(F.col(by_col), salt) < F.lit(thresh)
     tag = F.when(F.coalesce(is_hold, F.lit(False)), F.lit("holdout")).otherwise(
@@ -166,7 +177,7 @@ def leakage_safe_split(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = _SHINGLE_DF_DEFAULT,
 ) -> DataFrame:
     """Train/holdout split that can never leak a near-duplicate across the
     boundary: documents are clustered by exact n-gram Jaccard >= threshold
@@ -178,8 +189,12 @@ def leakage_safe_split(
     near-dup cluster in holdout while its twins train — the classic eval
     contamination bug that decontamination audits then re-discover.
 
-    Scale shape: the pair generation is the capped shingle join (pass
-    ``max_shingle_df`` on web-scale corpora), clustering is the
+    Scale shape: the pair generation is the capped shingle join — the cap
+    defaults to kgtm.dedup.DEFAULT_MAX_SHINGLE_DF for consistency with
+    ngram_jaccard_pairs' own skew-safe default (pass ``max_shingle_df=None``
+    explicitly for the exact all-pairs form, e.g. in oracle twins;
+    hash-identical shingle DF is capped, not sampled, so the default only
+    drops stop-phrase shingles from candidate generation), clustering is the
     large-star/small-star O(log n) loop, and the final assignment joins
     the (id, cluster_id) frame back on the id key — one co-partitioned
     shuffle join; the split tag itself is a scan-fused hash compare."""

@@ -1538,10 +1538,17 @@ def q_unigram_nll(top_v: int | None = None) -> str:
     with the (cnt desc, word asc) tie-break, OOV floor 1/N, mean -log2
     rounded to 6 dp. Zero-token docs vanish from the GROUP BY on both
     engines. The flat CTE drops '' tokens (the space-only-trim phantom —
-    see kgtm.lm._lm_tokens), so whitespace-only docs are omitted too."""
+    see kgtm.lm._lm_tokens), so whitespace-only docs are omitted too.
+
+    ``top_v`` mirrors the Spark contract exactly: None = uncapped, and a
+    non-positive cap is rejected here just as kgtm.lm._cap_vocab raises —
+    the twin must not silently accept an input the impl refuses
+    (`if top_v` would have treated 0 as uncapped)."""
+    if top_v is not None and top_v <= 0:
+        raise ValueError(f"top_v must be positive or None: {top_v}")
     vocab = (
         f"SELECT w, c FROM cnts ORDER BY c DESC, w ASC LIMIT {top_v}"
-        if top_v
+        if top_v is not None
         else "SELECT w, c FROM cnts"
     )
     return f"""

@@ -67,8 +67,14 @@ def exploded_paragraphs(
     for Java regex — matching DuckDB's string_split); limit -1 keeps
     trailing empties so a duplicate-free corpus reassembles
     byte-identically. ``extra_cols`` pass through (e.g. the event-time
-    column the streaming variant watermarks on)."""
-    pat = "\\Q" + sep + "\\E"
+    column the streaming variant watermarks on).
+
+    A sep containing the literal sequence ``\\E`` would terminate a naive
+    \\Q..\\E quote early and turn the tail of sep into live regex — so the
+    quote is rebuilt the way java.util.regex.Pattern.quote does it:
+    split on ``\\E`` and stitch the segments with an escaped ``\\E``
+    (``\\Q..\\E\\\\E\\Q..\\E``), keeping every byte of sep literal."""
+    pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     return df.select(
         F.col(id_col).alias("doc_id"),
         *extra_cols,

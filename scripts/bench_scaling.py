@@ -120,13 +120,35 @@ def _env(cores: int, amplify: int, sf_dir: str, scale_input: str) -> dict:
     return env
 
 
+def _pin(cores: int):
+    """preexec_fn that confines the child (and every descendant: the JVM,
+    the pyspark daemon, all Arrow/pandas-UDF Python workers) to exactly
+    ``cores`` CPUs via sched_setaffinity.
+
+    Without this, the local[8] leg free-rides: its 8 JVM task threads fill 8
+    CPUs while its 8 pandas-UDF Python workers run on the 24 OTHERWISE-IDLE
+    cores, so "8 cores" actually consumes ~12-16 CPUs of compute. That
+    inflates the low leg's throughput and deflates measured scaling
+    efficiency (r5 recorded raw 0.723-0.774 this way). A real 8-core executor
+    node runs JVM + Python workers on the SAME 8 CPUs — pinning reproduces
+    that, which is both the honest protocol and the fair ratio.
+    """
+
+    def fn() -> None:
+        os.sched_setaffinity(0, set(range(cores)))
+
+    return fn
+
+
 def run(code: str, cores: int, amplify: int, sf_dir: str, scale_input: str) -> dict | None:
+    pin = os.environ.get("KGTM_SCALE_PIN", "1") != "0"
     out = subprocess.run(
         [sys.executable, "-c", code],
         env=_env(cores, amplify, sf_dir, scale_input),
         capture_output=True,
         text=True,
         check=True,
+        preexec_fn=_pin(cores) if pin else None,
     )
     lines = out.stdout.strip().splitlines()
     return json.loads(lines[-1]) if lines else None
@@ -136,7 +158,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     amplify = int(os.environ.get("KGTM_BENCH_AMPLIFY", "100"))
     scale_input = os.environ.get("KGTM_SCALE_INPUT", "/tmp/kgtm_scale_input")
-    lo, hi = 8, 32
+    lo = int(os.environ.get("KGTM_SCALE_LO", "8"))
+    hi = int(os.environ.get("KGTM_SCALE_HI", "32"))
 
     if not (Path(scale_input) / "_SUCCESS").exists():
         subprocess.run(
@@ -164,6 +187,7 @@ def main() -> None:
     result = {
         "sf_dir": sf_dir,
         "amplify": amplify,
+        "cpu_pinned": os.environ.get("KGTM_SCALE_PIN", "1") != "0",
         "local8": r_lo,
         "local32": r_hi,
         "scaling_efficiency": round(eff, 3),
@@ -187,7 +211,12 @@ executors. Sandbox protocol (no real cluster available): the identical
 flagship KG-construction job (transcripts -> SVO triple extraction -> ladder
 linking of distinct terms -> latest-snapshot resolution -> triples) on
 identical on-disk input at local[{lo}] vs local[{hi}], best of 2 runs per level
-(fresh JVM per level).
+(fresh JVM per level). Each leg is CPU-pinned (sched_setaffinity, inherited by
+the JVM and every pandas-UDF Python worker) to exactly its core count —
+without pinning the local[{lo}] leg's Python workers run on the otherwise-idle
+cores, so "{lo} cores" silently consumes more than {lo} CPUs and the measured
+ratio understates true scaling. Pinned legs reproduce what a real {lo}-core vs
+{hi}-core executor node provides.
 
 Input: transcripts parquet, events x {amplify} deterministic copies from
 {sf_dir} ({r_lo["n_triples"]:,} triples emitted).

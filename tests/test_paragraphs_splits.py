@@ -146,6 +146,59 @@ def test_split_assign_null_key_never_holdout(spark):
     assert {r["split"] for r in out} == {"train"}
 
 
+def test_split_assign_rejects_existing_out_col(spark):
+    """Re-splitting an already-tagged frame must fail loudly, not produce a
+    duplicate `split` column that breaks F.col('split') downstream."""
+    import pytest
+
+    from kgtm.mixture import split_assign
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    tagged = split_assign(df)
+    with pytest.raises(ValueError, match="already exists"):
+        split_assign(tagged)
+    # a different out_col is fine
+    re_tagged = split_assign(tagged, out_col="split2", salt="other")
+    assert "split2" in re_tagged.columns
+
+
+def test_unigram_nll_twin_rejects_nonpositive_top_v():
+    """Twin/impl boundary parity: kgtm.lm._cap_vocab raises on top_v<=0, so
+    the DuckDB twin must too (not silently treat 0 as uncapped)."""
+    import pytest
+
+    from kgtm import oracles
+
+    with pytest.raises(ValueError, match="top_v"):
+        oracles.q_unigram_nll(top_v=0)
+    with pytest.raises(ValueError, match="top_v"):
+        oracles.q_unigram_nll(top_v=-3)
+    assert "LIMIT" not in oracles.q_unigram_nll(top_v=None)
+
+
+def test_exploded_paragraphs_sep_containing_quote_terminator(spark):
+    r"""A separator containing the literal `\E` sequence must stay fully
+    literal (a naive \Q..\E quote would end early and leak live regex —
+    here the tail would be `E.` matching any char after E)."""
+    from kgtm.paragraphs import exploded_paragraphs
+
+    sep = "\\E."  # backslash, E, dot — all literal
+    df = spark.createDataFrame(
+        [(1, "aaa\\E.bbb\\E.ccc"), (2, "no sep here E-x and Ey")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["pos"], r["para"])
+        for r in exploded_paragraphs(df, sep=sep).collect()
+    )
+    assert rows == [
+        (1, 0, "aaa"),
+        (1, 1, "bbb"),
+        (1, 2, "ccc"),
+        (2, 0, "no sep here E-x and Ey"),
+    ]
+
+
 def test_leakage_safe_split_matches_twin_and_is_cluster_atomic(spark, documents):
     from kgtm import oracles
     from kgtm.mixture import leakage_safe_split
