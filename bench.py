@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "incremental_relink",
     "dedup_exact",
     "corpus_curation",
-    "incremental_curation",
+    "incremental_curation_stored",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash_neardup",
@@ -111,6 +111,32 @@ def amplified_transcripts(spark, sf_dir: str, factor: int):
     return events_to_transcripts(amp)
 
 
+EMB_AMPLIFY = int(os.environ.get("KGTM_BENCH_EMB_AMPLIFY", "4"))
+
+
+def amplified_embeddings(spark, sf_dir: str, factor: int):
+    """Deterministic xN embedding corpus for the embedding_neardup bench
+    point: round-5 measured spread 1.736 on the raw sf corpus because a
+    0.3 s GEMM can't out-shout scheduler noise (VERDICT r5 item 4). Each
+    copy gets a per-(rep, dim) multiplicative distortion so copies are NOT
+    near-dups of each other (a pure scale would leave cosine = 1.0 and blow
+    the output quadratically); the timed work is the blocked GEMM, which
+    grows ~factor^2."""
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    return em.crossJoin(reps).select(
+        (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + ((F.col("rep") * 131 + i * 17) % 11).cast("double") / F.lit(3.0)
+            ),
+        ).alias("embedding"),
+    )
+
+
 def flagship_amplified(spark, sf_dir: str, factor: int):
     from kgtm.pipeline import build_triples
     from kgtm.transcripts import ontology_index_df, ontology_snapshots_df
@@ -160,7 +186,22 @@ def main() -> None:
         # earlier rounds, so BENCH_rN deltas compare like with like; the
         # PLAN is rebuilt fresh for every rep so lazily-checkpointed stages
         # are re-materialized inside the clock (see timed_median)
-        med, spread = timed_median(lambda name=name: qfns[name](spark, sf_dir))
+        if name == "embedding_neardup":
+            # larger timed workload for a stable measurement (r5 spread
+            # 1.736 at 0.3 s median): same operator, xEMB_AMPLIFY corpus
+            from kgtm.dedup import embedding_neardup_blocked
+
+            def _build_emb(name=name):
+                return embedding_neardup_blocked(
+                    amplified_embeddings(spark, sf_dir, EMB_AMPLIFY),
+                    threshold=0.5,
+                )
+
+            med, spread = timed_median(_build_emb)
+        else:
+            med, spread = timed_median(
+                lambda name=name: qfns[name](spark, sf_dir)
+            )
         spark.catalog.clearCache()  # no cross-query cache pollution
         timings[name] = round(med, 3)
         spreads[name] = round(spread, 3)

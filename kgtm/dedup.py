@@ -338,18 +338,22 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash_shingles(sh) -> np.ndarray:
-    """Stable 32-bit hashes of shingles (no Python hash() — seed-varying).
+    """Stable 31-bit shingle hashes: the top 31 bits of the vectorized
+    64-bit polynomial+splitmix64 hash (no Python hash() — seed-varying;
+    no crc32 — that was a per-string Python loop AND had no SQL twin).
 
     31-bit range keeps a*x+b inside uint64 for the universal-hash family
-    below — the whole signature stays in vectorized native arithmetic.
-    """
-    import zlib
+    below — the whole signature stays in vectorized native arithmetic —
+    and DuckDB reproduces x exactly (hash64 chain >> 33), which is what
+    makes the minhash_lsh driver-gate oracle possible (kgtm.oracles
+    q_minhash_lsh)."""
+    return _hash_shingles64(sh) >> np.uint64(33)
 
-    return np.fromiter(
-        (zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh),
-        dtype=np.uint64,
-        count=len(sh),
-    )
+
+#: the splitmix64 stream increment (golden-ratio constant): hash function i
+#: of the minhash family is mix64(x + (i+1) * GOLDEN) — i.e. the i-th output
+#: of a splitmix64 generator seeded at the shingle hash
+_GOLDEN64 = 0x9E3779B97F4A7C15
 
 
 def minhash_signature_series(
@@ -357,28 +361,63 @@ def minhash_signature_series(
 ) -> pd.Series:
     """Pure UDF body: list[str] shingles → list[int] minhash signature.
 
-    Universal hashing h_i(x) = (a_i * x + b_i) mod p, a_i < 2^31 and
-    x < 2^31 so products fit uint64 — one vectorized outer product per row,
-    zero Python-object arithmetic.
+    Hash family (round 6): h_i(x) = mix64(x + (i+1)*GOLDEN) >> 1 over the
+    full 64-bit shingle hash x — the i-th splitmix64 stream output seeded at
+    x. Each h_i is a bijection of x composed with a strong avalanche, the
+    standard k-mins construction. (The previous (a*x+b) mod 2^61-1 family
+    with a, x < 2^31 was subtly BROKEN: products never exceed 2^62 < 2p, so
+    outputs grow nearly monotonically in x and the minimum is dominated by
+    the smallest shingle hash — measured agreement 7/64 on a J=0.75 pair
+    where theory demands ~48/64.) The final >> 1 keeps values in signed
+    int64 range for Spark's array<long> while preserving unsigned order.
+
+    DuckDB reproduces the family exactly (kgtm.oracles.q_minhash_lsh:
+    the same HUGEINT mix chain per (shingle, i)), which is what makes
+    minhash_lsh a value-checked driver-gate row.
+
+    The string hashing itself runs ONCE per distinct shingle across the
+    whole Arrow batch (pd.factorize + the vectorized 64-bit hasher — same
+    pattern as simhash_series); per-doc work is a pure numpy broadcast add
+    + mix + min. ``seed`` participates as an additive offset (seed * GOLDEN)
+    so distinct seeds give independent families.
+
+    Empty shingles → NULL (not a constant signature): a constant would
+    falsely band every empty doc together, and NULL lets callers drop
+    them with a cheap column filter instead of re-evaluating the gram
+    expression (see ngram pitfalls above).
     """
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 31, size=n_hashes, dtype=np.uint64)
-    b = rng.integers(0, 1 << 31, size=n_hashes, dtype=np.uint64)
-    p = np.uint64(_MERSENNE)
+    offs = (
+        np.arange(1, n_hashes + 1, dtype=np.uint64) + np.uint64(seed)
+    ) * np.uint64(_GOLDEN64)
 
-    def sig(sh) -> list[int] | None:
+    counts = np.fromiter(
+        ((len(t) if t is not None else 0) for t in shingle_lists),
+        dtype=np.int64,
+        count=len(shingle_lists),
+    )
+    total = int(counts.sum())
+    if total:
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for t in shingle_lists:
+            if t is not None and len(t):
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+        codes, uniques = pd.factorize(flat)
+        xf = _hash_shingles64(list(uniques))[codes]
+    offsets = np.zeros(len(shingle_lists) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    out: list[list[int] | None] = []
+    for i, c in enumerate(counts):
         # Arrow delivers list columns as numpy arrays — no bool() on them.
-        # Empty shingles → NULL (not a constant signature): a constant would
-        # falsely band every empty doc together, and NULL lets callers drop
-        # them with a cheap column filter instead of re-evaluating the gram
-        # expression (see ngram pitfalls above).
-        if sh is None or len(sh) == 0:
-            return None
-        x = _hash_shingles(sh)
-        m = (a[:, None] * x[None, :] + b[:, None]) % p
-        return m.min(axis=1).astype(np.int64).tolist()
-
-    return shingle_lists.map(sig)
+        if c == 0:
+            out.append(None)
+            continue
+        x = xf[offsets[i] : offsets[i + 1]]
+        m = _splitmix64_np(x[None, :] + offs[:, None]) >> np.uint64(1)
+        out.append(m.min(axis=1).view(np.int64).tolist())
+    return pd.Series(out, index=shingle_lists.index)
 
 
 def minhash_lsh_pairs(
@@ -525,17 +564,44 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id")
 # ---------------------------------------------------------------------------
 
 
-#: first-come cap on the per-batch shingle-hash memo (~64 B/entry of hash
-#: payload plus the shingle string itself, so ~32-64 MB worst case)
-_SHINGLE_MEMO_MAX = 262_144
+#: multiplier of the codepoint polynomial — the 64-bit FNV prime. Small
+#: enough (2^40) that the DuckDB twin's fold `acc * P + c` stays < 2^104,
+#: inside HUGEINT; big enough that long shingles keep accumulating entropy
+#: across the full word before the finalizer mixes it.
+_POLY_P = 1099511628211
+_MOD64 = 1 << 64
+#: modular inverse of the multiplier (P odd => invertible mod 2^64): used to
+#: cancel the right-padding shift of numpy's fixed-width UCS4 matrices
+_POLY_PINV = pow(_POLY_P, -1, _MOD64)
+#: strings longer than this skip the padded-matrix Horner loop (which costs
+#: max_len numpy calls for the WHOLE chunk) and hash via a per-string
+#: vectorized dot instead
+_LONG_CUTOFF = 4096
+#: splitmix64 finalizer constants (Steele/Lea/Flood, public-domain PRNG —
+#: the standard 64-bit avalanche used by SplittableRandom)
+_SM64_C1 = 0xBF58476D1CE4E5B9
+_SM64_C2 = 0x94D049BB133111EB
 
 
-def _hash_shingles64(sh, cache: dict | None = None) -> np.ndarray:
-    """Full-width 64-bit shingle hashes: first 8 bytes (big-endian) of
-    md5(shingle) — every one of the 64 SimHash bit positions gets real
-    entropy, and md5 is reproducible in ANSI SQL (DuckDB:
-    CAST('0x' || substr(md5(s),1,16) AS UBIGINT)), which is what makes the
-    simhash_exhaustive driver-gate oracle possible.
+def _splitmix64_np(z: np.ndarray) -> np.ndarray:
+    """splitmix64 avalanche over a uint64 vector (wrapping arithmetic)."""
+    z = z.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(_SM64_C1)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(_SM64_C2)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _hash_shingles64(sh) -> np.ndarray:
+    """Full-width 64-bit shingle hashes, fully vectorized: a codepoint
+    polynomial h = sum_i (cp_i + 1) * P^(L-1-i) mod 2^64 (P = the FNV
+    prime) followed by a splitmix64 finalizer. Every one of the 64 SimHash
+    bit positions gets real entropy — the finalizer matters: without it the
+    polynomial alone leaves the trailing characters visible only in the low
+    ~40 bits (two shingles differing only in the last word would agree on
+    bits 40..63, biasing SimHash similarity upward on shared prefixes).
 
     Why not the 31-bit crc32 family used for MinHash (_hash_shingles): a
     31-bit hash leaves SimHash bits 31..63 at constant 0 for EVERY document,
@@ -544,54 +610,164 @@ def _hash_shingles64(sh, cache: dict | None = None) -> np.ndarray:
     quadratic pair space — the exact blow-up banding exists to prevent.
     (MinHash keeps crc32: its universal-hash arithmetic needs x < 2^31.)
 
-    md5 is a per-string Python call (no vectorized form that DuckDB can also
-    reproduce), so ``cache`` memoizes hashes across documents of one Arrow
-    batch: word n-grams repeat heavily across a partition's documents
-    (stop-phrase shingles appear in most of them), and a dict hit replaces a
-    hashlib round-trip — measured ~3x fewer md5 calls on the sf corpora.
-    """
-    import hashlib
+    Why not md5 (rounds 4-5): per-string hashlib calls were the last
+    row-at-a-time-Python hot path in a scale operator. Here the batch goes
+    through ``np.array(batch, dtype=str)`` — one C pass producing a
+    fixed-width UCS4 codepoint matrix — then an in-place Horner column loop
+    h = h*P + cp + 1[real]. The matrix is RIGHT-padded by numpy, which
+    multiplies each true hash by P^(pad); P is odd hence invertible mod
+    2^64, so one vectorized gather-multiply by P^-(pad) cancels the shift
+    exactly. DuckDB reproduces the whole thing in HUGEINT SQL arithmetic
+    (list_reduce fold + split-multiply finalizer: kgtm.oracles.hash64_sql),
+    which is what keeps the simhash gate oracles value-checkable.
 
-    if cache is None:
-        return np.fromiter(
-            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in sh),
-            dtype=np.uint64,
-            count=len(sh),
+    Unicode: the polynomial runs over CODEPOINTS (UCS4 view on the numpy
+    side == DuckDB unicode() per split character), so both engines agree
+    beyond ASCII without byte-encoding games. The +1 keeps U+0000 distinct
+    from padding cells — but numpy U-arrays silently DROP trailing NULs on
+    store, so the rare string containing one is routed to the scalar
+    reference instead (hash64_py, identical values).
+
+    Two slow-tail routes keep the fast path honest:
+    - strings longer than _LONG_CUTOFF go per-string through a vectorized
+      dot against a power table (the column loop would otherwise execute
+      max_len tiny numpy calls for the whole chunk);
+    - heterogeneous batches are length-sorted and chunked so each chunk
+      pads only to its OWN max, not the batch max.
+    """
+    n = len(sh)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(s) for s in sh), dtype=np.int64, count=n)
+    P = np.uint64(_POLY_P)
+
+    long_or_nul: list[int] = [
+        i for i in range(n) if lens[i] > _LONG_CUTOFF or "\0" in sh[i]
+    ]
+    if long_or_nul:
+        skip = set(long_or_nul)
+        pows_desc_src = None
+        for i in long_or_nul:
+            s = sh[i]
+            if "\0" in s:
+                out[i] = hash64_py(s)
+                continue
+            if pows_desc_src is None or len(pows_desc_src) < len(s):
+                pows_desc_src = np.ones(len(s), dtype=np.uint64)
+                pows_desc_src[1:] = P
+                np.multiply.accumulate(pows_desc_src, out=pows_desc_src)
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(
+                np.uint64
+            )
+            cp += np.uint64(1)
+            cp *= pows_desc_src[len(s) - 1 :: -1]
+            out[i] = _splitmix64_np(cp.sum(dtype=np.uint64, keepdims=True))[0]
+        idx_rest = np.array(
+            [i for i in range(n) if i not in skip], dtype=np.int64
         )
-    out = np.empty(len(sh), dtype=np.uint64)
-    for i, s in enumerate(sh):
-        h = cache.get(s)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-            if len(cache) < _SHINGLE_MEMO_MAX:
-                # bounded: an Arrow batch of diverse text can carry 10^6-10^7
-                # DISTINCT shingles, and an unbounded memo would hold every
-                # string for the batch's lifetime (hundreds of MB per python
-                # worker). The hot stop-phrase shingles that motivated the
-                # memo are by definition the first ones seen repeatedly, so
-                # a first-come cap keeps the measured ~3x md5 win while the
-                # long tail of singletons stays transient.
-                cache[s] = h
-        out[i] = h
+    else:
+        idx_rest = np.arange(n)
+    if len(idx_rest) == 0:
+        return out
+
+    rest_lens = lens[idx_rest]
+    if len(idx_rest) > 1 and int(rest_lens.max()) > 4 * max(
+        int(rest_lens.min()), 1
+    ):
+        # heterogeneous: sort by length so each chunk pads to its own max
+        idx_rest = idx_rest[np.argsort(rest_lens, kind="stable")]
+    m = len(idx_rest)
+    pos = 0
+    budget = 16 << 20  # uint32 cells per chunk (~64 MB)
+    while pos < m:
+        take = 256
+        while pos + take < m:
+            grown = min(2 * take, m - pos)
+            if grown * max(int(lens[idx_rest[pos + grown - 1]]), 1) > budget:
+                break
+            take = grown
+            if grown == m - pos:
+                break
+        idx = idx_rest[pos : pos + take]
+        pos += take
+        sub_lens = lens[idx]
+        arr = np.array([sh[i] for i in idx], dtype=np.str_)
+        L = max(arr.dtype.itemsize // 4, 1)
+        cps = arr.view(np.uint32).reshape(len(idx), L)
+        # in-place Horner (scalar multiplier): ~30x faster than the
+        # matrix x power-vector form, which drowns in uint64 broadcast
+        # temporaries (and on this kernel, in first-touch page faults)
+        h = np.zeros(len(idx), dtype=np.uint64)
+        for j in range(L):
+            h *= P
+            h += cps[:, j]
+            h += j < sub_lens  # +1 on real positions only
+        # cancel the right-padding shift: h_true = h * P^-(L - len)
+        ipows = np.ones(L + 1, dtype=np.uint64)
+        if L >= 1:
+            ipows[1:] = np.uint64(_POLY_PINV)
+            np.multiply.accumulate(ipows, out=ipows)
+        h *= ipows[L - sub_lens]
+        out[idx] = _splitmix64_np(h)
     return out
 
 
+def hash64_py(s: str) -> int:
+    """Scalar reference of _hash_shingles64 (tests / documentation): the
+    same codepoint fold + splitmix64 in plain Python integers."""
+    h = 0
+    for ch in s:
+        h = (h * _POLY_P + ord(ch) + 1) % _MOD64
+    h ^= h >> 30
+    h = (h * _SM64_C1) % _MOD64
+    h ^= h >> 27
+    h = (h * _SM64_C2) % _MOD64
+    return h ^ (h >> 31)
+
+
 def simhash_series(shingle_lists: pd.Series, bits: int = 64) -> pd.Series:
-    """Pure UDF body: shingles → 64-bit SimHash (as signed int64)."""
-    cache: dict[str, int] = {}  # shingle-hash memo shared across the batch
-    weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+    """Pure UDF body: shingles → 64-bit SimHash (as signed int64).
 
-    def sh(tokens) -> int | None:
-        # empty → NULL, same contract as minhash_signature_series
-        if tokens is None or len(tokens) == 0:
-            return None
-        h = _hash_shingles64(tokens, cache)
-        cols = ((h[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
-        v = np.where(cols.sum(axis=0) * 2 >= len(tokens), 1, 0)
-        out = int((v.astype(np.uint64) * weights).sum(dtype=np.uint64))
-        return out - (1 << bits) if out >= (1 << (bits - 1)) else out
-
-    return shingle_lists.map(sh)
+    Whole-batch vectorized: flatten every document's shingles into one
+    array, pd.factorize so each DISTINCT shingle is hashed once (stop-phrase
+    n-grams repeat across most documents of a partition — the round-5 memo
+    cache's win, without the dict or its size cap), hash the uniques in one
+    vectorized pass, then per-bit segment sums (np.add.reduceat over the
+    flattened doc boundaries) give every document's majority vote with no
+    per-document Python at all."""
+    n_docs = len(shingle_lists)
+    counts = np.fromiter(
+        ((len(t) if t is not None else 0) for t in shingle_lists),
+        dtype=np.int64,
+        count=n_docs,
+    )
+    total = int(counts.sum())
+    out = np.empty(n_docs, dtype=object)
+    out[:] = None  # empty → NULL, same contract as minhash_signature_series
+    if total == 0:
+        return pd.Series(out, index=shingle_lists.index)
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for t in shingle_lists:
+        if t is not None and len(t):
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+    codes, uniques = pd.factorize(flat)
+    h = _hash_shingles64(list(uniques))[codes]
+    nonempty = counts > 0
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    seg_starts = starts[nonempty]
+    n_sh = counts[nonempty]
+    uv = np.zeros(len(seg_starts), dtype=np.uint64)
+    for b in range(bits):
+        bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        votes = np.add.reduceat(bit, seg_starts)
+        uv |= (2 * votes >= n_sh).astype(np.uint64) << np.uint64(b)
+    sv = uv.view(np.int64)  # two's-complement reinterpret
+    out[nonempty] = [int(x) for x in sv]
+    return pd.Series(out, index=shingle_lists.index)
 
 
 def simhash_pairs(

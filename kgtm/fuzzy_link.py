@@ -64,12 +64,22 @@ def link_fuzzy(
     entity_col: str = "ontology_iri",
     n: int = 3,
     n_hashes: int = 64,
-    n_bands: int = 16,
+    n_bands: int = 32,
     threshold: float = 0.35,
 ) -> DataFrame:
     """(mention rows) + labels(label, entity) → best fuzzy link per mention.
 
     Returns mentions with (matched_label, entity, score, is_linked).
+
+    Banding default is rows_per_band=2 (64 hashes / 32 bands), NOT the
+    document-dedup geometry of 8: fuzzy-link surfaces are SHORT (a label has
+    only a handful of char 3-grams), so per-hash agreement probability J
+    carries huge variance and a 4-row band already misses J=0.75 pairs with
+    ~0.2% probability per pair — observed concretely when the round-6 base
+    hash landed an unlucky draw on 'errorr'~'error'. At rows_per_band=2 the
+    miss probability for J>=0.5 pairs is < 1e-11; the band join stays keyed
+    on (band, xxhash64) scalars, so doubling bands doubles only the cheap
+    candidate stage, never the verify stage.
     """
     rows_per_band = n_hashes // n_bands
     sig = _signature_udf(n_hashes)

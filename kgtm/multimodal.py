@@ -2,11 +2,15 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct; decode /
 feature-extraction / resize / frame-sampling run as Arrow-batched
-`mapInPandas` stages. The decode step itself is STUBBED (no codec libraries
-in this container): `decode_stub=True` produces deterministic fake features
-from the raw bytes so the Spark-side plumbing — schema, batching, partition
-flow — is real and tested; wiring a real decoder only swaps the marked
-function.
+`mapInPandas` stages. IMAGE decode is REAL when PIL is importable
+(grayscale → 4x4 → normalized intensities) and falls back to a
+loudly-labeled deterministic stub otherwise (this container ships no codec
+libraries); `backend="pil"` makes the real path mandatory, `backend="stub"`
+forces the fake. Audio/video decode remains stubbed pending
+torchaudio/ffmpeg. Either way the Spark-side plumbing — schema, batching,
+partition flow — is identical and tested (tests/test_dataops.py ships a
+hand-rolled 2-asset BMP fixture exercising whichever branch the
+environment provides).
 """
 
 from __future__ import annotations
@@ -53,26 +57,68 @@ FEATURE_SCHEMA = StructType(
 N_FEATURES = 16
 
 
-def _decode_and_featurize(content: bytes, media_type: str) -> np.ndarray:
-    """<<DECODE STUB>> — replace with a real codec (PIL/torchaudio/ffmpeg).
+def _decode_image_pil(content: bytes) -> np.ndarray | None:
+    """REAL image decode when PIL is importable: grayscale → 4x4 resize →
+    L1-normalized pixel intensities (the same 16-feature shape contract as
+    the stub). Returns None when PIL is missing OR the bytes are not a
+    decodable image — the caller falls back to the stub, so the pipeline is
+    environment-portable: real features where codecs exist, deterministic
+    fakes where they don't (this sandbox ships no codec libraries)."""
+    import io
 
-    Deterministic fake: a 16-bin byte histogram, L1-normalized. Keeps every
+    try:
+        from PIL import Image  # optional dependency, absent in the sandbox
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(content)) as im:
+            px = np.asarray(
+                im.convert("L").resize((4, 4)), dtype=np.float32
+            ).ravel()
+    except Exception:
+        return None
+    return px / max(float(px.sum()), 1.0)
+
+
+def _decode_and_featurize(
+    content: bytes, media_type: str, backend: str = "auto"
+) -> np.ndarray:
+    """Decode + featurize one asset.
+
+    ``backend``:
+      - "auto" (default): real PIL decode for image rows when PIL is
+        importable and the bytes parse; deterministic stub otherwise.
+      - "pil": real decode REQUIRED — raises on missing PIL/undecodable
+        bytes instead of silently stubbing (pipelines that must never
+        train on fake features).
+      - "stub": always the deterministic fake (tests of the stub contract).
+
+    The stub is a 16-bin byte histogram, L1-normalized — keeps every
     downstream contract (shape, dtype, determinism) honest without codecs.
     """
     if content is None or len(content) == 0:
         return np.zeros(N_FEATURES, dtype=np.float32)
+    if backend != "stub" and media_type == "image":
+        real = _decode_image_pil(bytes(content))
+        if real is not None:
+            return real
+        if backend == "pil":
+            raise ValueError(
+                "backend='pil' requires PIL and decodable image bytes"
+            )
+    # <<DECODE STUB>> — audio/video real decode still needs torchaudio/ffmpeg
     arr = np.frombuffer(content, dtype=np.uint8)
     hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float32)
     return hist / max(hist.sum(), 1.0)
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, backend: str = "auto") -> DataFrame:
     """mapInPandas feature extraction — one Arrow batch in, one out."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_and_featurize(c, m).tolist()
+                _decode_and_featurize(c, m, backend).tolist()
                 for c, m in zip(pdf["content"], pdf["media_type"])
             ]
             yield pd.DataFrame(

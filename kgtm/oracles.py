@@ -245,11 +245,51 @@ def q_ngram_jaccard(threshold: float = 0.2) -> str:
     """
 
 
+_MOD64_SQL = "18446744073709551616"  # 2^64
+
+
+def _sql_mul64(z: str, c: int) -> str:
+    """(z * c) mod 2^64 in HUGEINT WITHOUT overflowing the signed 128-bit
+    range: z < 2^64 times c ~ 2^64 would hit 2^128, so split z into 32-bit
+    halves — z_lo*c < 2^96 and (z_hi*c mod 2^32) << 32 < 2^64, both safe."""
+    return (
+        f"((({z}) % 4294967296) * {c}::HUGEINT % {_MOD64_SQL}"
+        f" + ((({z}) // 4294967296) * {c}::HUGEINT % 4294967296) * 4294967296)"
+        f" % {_MOD64_SQL}"
+    )
+
+
+def hash64_sql_ctes(src: str, cols: str, col: str = "shingle") -> str:
+    """CTE chain computing kgtm.dedup._hash_shingles64 / hash64_py in pure
+    DuckDB HUGEINT arithmetic: the codepoint polynomial fold
+    h = h*P + unicode(c)+1 (list_reduce over the split characters), then
+    the splitmix64 finalizer with each multiply expanded via _sql_mul64.
+    ``cols`` are passthrough columns; the final CTE `hashed` exposes them
+    plus `hv` (UBIGINT). Constants are imported from kgtm.dedup so the twin
+    can never drift from the impl."""
+    from kgtm.dedup import _POLY_P, _SM64_C1, _SM64_C2
+
+    poly = (
+        "list_reduce(list_prepend(0::HUGEINT, "
+        f"list_transform(string_split({col}, ''), "
+        "c -> unicode(c)::HUGEINT + 1)), "
+        f"(a, x) -> (a * {_POLY_P} + x) % {_MOD64_SQL})"
+    )
+    return f"""
+      hs0 AS (SELECT {cols}, {poly} AS z FROM {src}),
+      hs1 AS (SELECT {cols}, xor(z, z >> 30) AS z FROM hs0),
+      hs2 AS (SELECT {cols}, {_sql_mul64("z", _SM64_C1)} AS z FROM hs1),
+      hs3 AS (SELECT {cols}, xor(z, z >> 27) AS z FROM hs2),
+      hs4 AS (SELECT {cols}, {_sql_mul64("z", _SM64_C2)} AS z FROM hs3),
+      hashed AS (SELECT {cols}, CAST(xor(z, z >> 31) AS UBIGINT) AS hv
+                 FROM hs4)"""
+
+
 def q_simhash_exhaustive(max_hamming: int = 16) -> str:
     """Value-checked twin of kgtm.dedup.simhash_pairs — possible because the
-    round-4 shingle hasher is md5-derived (first 8 bytes big-endian ==
-    CAST('0x' || substr(md5(s),1,16) AS UBIGINT)), which both engines
-    compute identically; crc32 (the MinHash family) has no ANSI-SQL twin.
+    shingle hasher (round 6: codepoint polynomial + splitmix64, vectorized
+    numpy) is reproduced exactly in HUGEINT SQL by hash64_sql_ctes; crc32
+    (the MinHash family) has no ANSI-SQL twin.
 
     This is the ALL-PAIRS form: per-bit majority simhash (bit i set iff
     2 * count(shingles with bit i) >= n_shingles — simhash_series' rule),
@@ -267,10 +307,8 @@ def q_simhash_exhaustive(max_hamming: int = 16) -> str:
     )
     return f"""
       WITH {WORDS_CTE}, {SHINGLES_CTE},
-      h AS (
-        SELECT id, n_sh,
-               CAST('0x' || substr(md5(shingle), 1, 16) AS UBIGINT) AS hv
-        FROM flat),
+      {hash64_sql_ctes("flat", "id, n_sh")},
+      h AS (SELECT id, n_sh, hv FROM hashed),
       bits AS (
         SELECT id, n_sh,
                {bit_sums}
@@ -286,6 +324,64 @@ def q_simhash_exhaustive(max_hamming: int = 16) -> str:
              bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
       FROM s a JOIN s b ON a.id < b.id
       WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+def q_minhash_lsh(
+    threshold: float = 0.2,
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> str:
+    """Value-checked twin of kgtm.dedup.minhash_lsh_pairs (estimate mode) —
+    possible since round 6's hash migration: the signature family
+    h_i(x) = mix64(x + (i+1+seed)*GOLDEN) >> 1 over the 64-bit shingle
+    hash is pure integer arithmetic, replayed here per (shingle, i) with
+    the same HUGEINT split-multiply mix chain as hash64_sql_ctes.
+
+    One deliberate twin simplification: the impl buckets candidates by
+    xxhash64(signature slice); this twin joins on the slice VALUES directly.
+    The two differ only if xxhash64 collides on two distinct 8-long int64
+    slices within the corpus (~2^-64 per pair) — and even then the extra
+    candidate must also pass the est_jaccard threshold to change output.
+    """
+    from kgtm.dedup import _GOLDEN64, _SM64_C1, _SM64_C2
+
+    rpb = n_hashes // n_bands
+    return f"""
+      WITH {WORDS_CTE}, {SHINGLES_CTE},
+      {hash64_sql_ctes("flat", "id")},
+      hd AS (SELECT DISTINCT hv FROM hashed),
+      mh0 AS (SELECT hv, i,
+                     (hv::HUGEINT + ((i::HUGEINT + {1 + seed}) * {_GOLDEN64})
+                      % {_MOD64_SQL}) % {_MOD64_SQL} AS z
+              FROM hd, range(0, {n_hashes}) t(i)),
+      mh1 AS (SELECT hv, i, xor(z, z >> 30) AS z FROM mh0),
+      mh2 AS (SELECT hv, i, {_sql_mul64("z", _SM64_C1)} AS z FROM mh1),
+      mh3 AS (SELECT hv, i, xor(z, z >> 27) AS z FROM mh2),
+      mh4 AS (SELECT hv, i, {_sql_mul64("z", _SM64_C2)} AS z FROM mh3),
+      -- the expensive HUGEINT mix runs once per DISTINCT shingle (the SQL
+      -- analog of the impl's pd.factorize); the per-(id, i) min joins back
+      -- on the cheap 64-bit key
+      mixed AS (SELECT hv, i, xor(z, z >> 31) >> 1 AS zz FROM mh4),
+      sigs AS (SELECT h.id, m.i, CAST(min(m.zz) AS BIGINT) AS s
+               FROM hashed h JOIN mixed m USING (hv) GROUP BY h.id, m.i),
+      sigl AS (SELECT id, list(s ORDER BY i) AS sig FROM sigs GROUP BY id),
+      bands AS (SELECT id, bnd,
+                       sig[bnd*{rpb}+1 : (bnd+1)*{rpb}] AS bkey
+                FROM sigl, range(0, {n_bands}) t(bnd)),
+      cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+               FROM bands x JOIN bands y ON x.bnd = y.bnd AND x.bkey = y.bkey
+               WHERE x.id < y.id),
+      est AS (SELECT id_a, id_b,
+                     len(list_filter(generate_series(1, {n_hashes}),
+                                     i -> sa.sig[i] = sb.sig[i]))
+                       * 1.0 / {n_hashes} AS est_jaccard
+              FROM cand
+              JOIN sigl sa ON sa.id = cand.id_a
+              JOIN sigl sb ON sb.id = cand.id_b)
+      SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+      FROM est WHERE est_jaccard >= {threshold}
     """
 
 
@@ -489,6 +585,225 @@ def q_ann_topk(n_queries: int = 5, k: int = 10) -> str:
         FROM scored)
       SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= {k}
+    """
+
+
+def q_ann_lsh_topk(
+    n_queries: int = 5,
+    k: int = 10,
+    n_tables: int = 8,
+    planes_per_table: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Value-checked twin of kgtm.similarity.lsh_topk — possible since round
+    6's determinism work: the ±1 Rademacher planes are regenerated from the
+    same splitmix64 stream (HUGEINT mix chain), and the sign computation is
+    a FIXED-POINT integer dot (embeddings quantized to 1e-6 in both
+    engines), so bucket codes are bitwise identical regardless of summation
+    order. Candidates = multi-table bucket join with the query-side 1-bit
+    multiprobe flips; scoring = exact cosine within candidates (the same
+    rounding contract the green ann_topk row established)."""
+    from kgtm.dedup import _GOLDEN64, _SM64_C1, _SM64_C2
+    from kgtm.similarity import _LSH_QUANT
+
+    b = planes_per_table
+    n_planes = n_tables * b
+    tagshift = 1 << (b + 1)
+    return f"""
+      WITH comp AS (
+        SELECT vec_id, d,
+               CAST(floor(e::DOUBLE * {_LSH_QUANT} + 0.5) AS BIGINT) AS qc
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     unnest(generate_series(0, {dim - 1})) AS d
+              FROM embeddings)),
+      pseed AS (SELECT pidx,
+                       ((({seed}::HUGEINT << 32) + pidx + 1) * {_GOLDEN64})
+                         % {_MOD64_SQL} AS z
+                FROM range(0, {n_planes * dim}) t(pidx)),
+      pm1 AS (SELECT pidx, xor(z, z >> 30) AS z FROM pseed),
+      pm2 AS (SELECT pidx, {_sql_mul64("z", _SM64_C1)} AS z FROM pm1),
+      pm3 AS (SELECT pidx, xor(z, z >> 27) AS z FROM pm2),
+      pm4 AS (SELECT pidx, {_sql_mul64("z", _SM64_C2)} AS z FROM pm3),
+      planes AS (SELECT pidx // {dim} AS plane, pidx % {dim} AS d,
+                        CASE WHEN xor(z, z >> 31) >= (1::HUGEINT << 63)
+                             THEN 1 ELSE -1 END AS r
+                 FROM pm4),
+      dots AS (SELECT c.vec_id, p.plane, sum(c.qc * p.r) AS s
+               FROM comp c JOIN planes p USING (d)
+               GROUP BY c.vec_id, p.plane),
+      bits AS (SELECT vec_id, plane // {b} AS tbl, plane % {b} AS j,
+                      CASE WHEN s >= 0 THEN 1 ELSE 0 END AS bit
+               FROM dots),
+      codes AS (SELECT vec_id, tbl,
+                       CAST(sum(bit * (1 << j)) AS BIGINT) AS code
+                FROM bits GROUP BY vec_id, tbl),
+      ckeys AS (SELECT vec_id AS neighbor_id,
+                       tbl * {tagshift} + code AS bucket
+                FROM codes),
+      qprim AS (SELECT vec_id AS query_id, tbl, code FROM codes
+                WHERE vec_id < {n_queries}),
+      qkeys AS (
+        SELECT query_id, tbl * {tagshift} + code AS bucket FROM qprim
+        UNION ALL
+        SELECT query_id, tbl * {tagshift} + xor(code, 1 << j) AS bucket
+        FROM qprim, range(0, {b}) t(j)),
+      cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+               FROM qkeys q JOIN ckeys c USING (bucket)
+               WHERE q.query_id != c.neighbor_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]) AS cos
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= {k}
+    """
+
+
+def q_ann_ivf_topk(
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    max_iter: int = 8,
+    dim: int = 64,
+) -> str:
+    """Value-checked twin of kgtm.similarity.ivf_topk — possible since round
+    6's FIXED-POINT k-means: init picks the n_centroids vectors with the
+    smallest splitmix64((id+1)*GOLDEN) (replayed by the HUGEINT mix chain),
+    assignment is an exact integer dot against 1e-6-grid unit centroids
+    (ties to the smaller cell), and the centroid update is an integer
+    member-sum re-unitized with one deterministic sqrt — so this twin
+    UNROLLS all max_iter Lloyd iterations in SQL and lands on bit-identical
+    centroids, cells, probes, candidates, and final ranking."""
+    from kgtm.dedup import _GOLDEN64, _SM64_C1, _SM64_C2
+    from kgtm.similarity import _LSH_QUANT
+
+    # one dots/asg/sum/new/cent block per Lloyd iteration
+    iters = []
+    for i in range(max_iter):
+        iters.append(f"""
+      dots{i} AS MATERIALIZED (
+                  SELECT c.vec_id, kk.cell, sum(c.qc * kk.cq) AS dot
+                  FROM comp c JOIN cent{i} kk USING (d)
+                  GROUP BY c.vec_id, kk.cell),
+      asg{i} AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dot DESC, cell) AS rn
+                   FROM dots{i}) WHERE rn = 1),
+      sum{i} AS (SELECT a.cell, c.d, sum(c.qc) AS s
+                 FROM asg{i} a JOIN comp c USING (vec_id)
+                 GROUP BY a.cell, c.d),
+      n2_{i} AS (SELECT cell, sum(s*s) AS n2 FROM sum{i} GROUP BY cell),
+      new{i} AS (SELECT s.cell, s.d,
+                        CAST(floor(s.s::DOUBLE / sqrt(n2.n2::DOUBLE)
+                                   * {_LSH_QUANT} + 0.5) AS BIGINT) AS cq
+                 FROM sum{i} s JOIN n2_{i} n2 USING (cell)
+                 WHERE n2.n2 > 0),
+      cent{i + 1} AS MATERIALIZED (
+                      SELECT p.cell, p.d, coalesce(n.cq, p.cq) AS cq
+                      FROM cent{i} p LEFT JOIN new{i} n USING (cell, d))""")
+    iter_sql = ",".join(iters)
+    fin = max_iter
+    return f"""
+      WITH comp AS MATERIALIZED (
+        SELECT vec_id, d,
+               CAST(floor(e::DOUBLE * {_LSH_QUANT} + 0.5) AS BIGINT) AS qc
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     unnest(generate_series(0, {dim - 1})) AS d
+              FROM embeddings)),
+      mi0 AS (SELECT vec_id,
+                     (((vec_id::HUGEINT + 1) * {_GOLDEN64}) % {_MOD64_SQL})
+                       AS z
+              FROM embeddings),
+      mi1 AS (SELECT vec_id, xor(z, z >> 30) AS z FROM mi0),
+      mi2 AS (SELECT vec_id, {_sql_mul64("z", _SM64_C1)} AS z FROM mi1),
+      mi3 AS (SELECT vec_id, xor(z, z >> 27) AS z FROM mi2),
+      mi4 AS (SELECT vec_id, {_sql_mul64("z", _SM64_C2)} AS z FROM mi3),
+      mixid AS (SELECT vec_id, xor(z, z >> 31) >> 1 AS h FROM mi4),
+      initc AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+                       vec_id
+                FROM mixid ORDER BY h, vec_id LIMIT {n_centroids}),
+      in2 AS (SELECT i.cell, sum(c.qc * c.qc) AS n2
+              FROM initc i JOIN comp c USING (vec_id) GROUP BY i.cell),
+      cent0 AS MATERIALIZED (SELECT i.cell, c.d,
+                       CAST(floor(c.qc::DOUBLE / sqrt(n2.n2::DOUBLE)
+                                  * {_LSH_QUANT} + 0.5) AS BIGINT) AS cq
+                FROM initc i
+                JOIN comp c USING (vec_id)
+                JOIN in2 n2 ON n2.cell = i.cell
+                WHERE n2.n2 > 0),{iter_sql},
+      dots{fin} AS (SELECT c.vec_id, kk.cell, sum(c.qc * kk.cq) AS dot
+                    FROM comp c JOIN cent{fin} kk USING (d)
+                    GROUP BY c.vec_id, kk.cell),
+      cells AS (SELECT vec_id AS neighbor_id, cell FROM (
+                  SELECT vec_id, cell,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dot DESC, cell) AS rn
+                  FROM dots{fin}) WHERE rn = 1),
+      qprobe AS (SELECT vec_id AS query_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dot DESC, cell) AS rn
+                   FROM dots{fin} WHERE vec_id < {n_queries})
+                 WHERE rn <= {nprobe}),
+      cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+               FROM qprobe q JOIN cells c USING (cell)
+               WHERE q.query_id != c.neighbor_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]) AS cos
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= {k}
+    """
+
+
+def q_lsh_recall() -> str:
+    """Twin of the lsh_recall gate query: recall of each approximate search
+    path against its exact truth set, both sides computed wholly in-plan —
+    the approximate sides are themselves the (round-6) value-checked twins,
+    so this row turns approximation QUALITY into driver-visible, hash-checked
+    numbers rather than pytest-only evidence."""
+    return f"""
+      WITH mh_truth AS (SELECT id_a, id_b FROM ({q_ngram_jaccard(0.2)})),
+      mh_appr AS (SELECT id_a, id_b FROM ({q_minhash_lsh(0.2, n_hashes=32)})),
+      bf AS (SELECT query_id, neighbor_id FROM ({q_ann_topk(5, 10)})),
+      lshq AS (SELECT query_id, neighbor_id FROM ({q_ann_lsh_topk()})),
+      ivfq AS (SELECT query_id, neighbor_id FROM ({q_ann_ivf_topk()})),
+      rows_ AS (
+        SELECT 'ann_ivf_topk' AS method,
+               (SELECT count(*) FROM bf) AS n_truth,
+               (SELECT count(*) FROM bf JOIN ivfq
+                  USING (query_id, neighbor_id)) AS n_hit
+        UNION ALL
+        SELECT 'ann_lsh_topk',
+               (SELECT count(*) FROM bf),
+               (SELECT count(*) FROM bf JOIN lshq
+                  USING (query_id, neighbor_id))
+        UNION ALL
+        SELECT 'minhash_lsh',
+               (SELECT count(*) FROM mh_truth),
+               (SELECT count(*) FROM mh_truth JOIN mh_appr
+                  USING (id_a, id_b)))
+      SELECT method, n_truth::BIGINT AS n_truth, n_hit::BIGINT AS n_hit,
+             round(n_hit * 1.0 / n_truth, 6) AS recall
+      FROM rows_
     """
 
 

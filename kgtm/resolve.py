@@ -86,7 +86,10 @@ def asof_snapshots(snapshots: DataFrame, pin_ts: dt.datetime) -> DataFrame:
 
 
 def dependency_closure(
-    snapshots: DataFrame, roots: DataFrame, max_iter: int = 20
+    snapshots: DataFrame,
+    roots: DataFrame,
+    max_iter: int = 20,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Transitive dependency closure of snapshot IRIs.
 
@@ -94,8 +97,18 @@ def dependency_closure(
     fetch_dependency_manifest walks ex-version:dependency edges of a pinned
     snapshot (proxy_logic.py:276-307, model at tests/dependency.ttl:1-25).
     Batch translation: iterative self-join over the (snapshot_iri, deps)
-    edge list until fixpoint — same loop skeleton as connected components,
-    localCheckpoint per round to cut lineage.
+    edge list until fixpoint — same loop skeleton as connected components.
+
+    Checkpoint cadence (round 6, the PageRank treatment): each round's
+    FRONTIER is eagerly checkpointed (it feeds the next join and the
+    anti-join), but the accumulated closure is just a union of those
+    already-checkpointed frames — re-checkpointing the union every round
+    (the round-5 shape) rewrites the ENTIRE closure once per depth level,
+    i.e. O(closure x depth) I/O, which a deep walk turns into the dominant
+    cost (A/B measured on a planted 1e6-edge depth-100 graph:
+    BENCH/CLOSURE.md). The union is compacted to one checkpointed frame
+    only every ``compact_every`` rounds, so plan width stays bounded while
+    deep walks stop paying the quadratic rewrite.
 
     roots: DataFrame with column snapshot_iri. Returns (root_snapshot_iri,
     snapshot_iri, depth) — every snapshot reachable from each root,
@@ -130,7 +143,11 @@ def dependency_closure(
         )
         if nxt.limit(1).count() == 0:
             break
-        closure = closure.union(nxt).localCheckpoint(eager=True)
+        closure = closure.union(nxt)
+        if depth % compact_every == 0:
+            # bound plan width (<= compact_every union children) without
+            # rewriting the closure every round
+            closure = closure.localCheckpoint(eager=True)
         frontier = nxt
     return closure
 

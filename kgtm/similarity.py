@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 from pyspark.sql.window import Window
 
 from kgtm.dedup import dot_expr, unit_vector_expr
@@ -57,9 +57,34 @@ def brute_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+#: fixed-point grid for the LSH sign computation: embeddings are quantized
+#: to 1e-6 before the plane dot product, so the sign is a pure INTEGER
+#: comparison — bitwise identical regardless of summation order, partition
+#: layout, or engine (the DuckDB twin replays it exactly). Quantization
+#: noise of 5e-7 per coordinate is far below embedding noise; bucketing is
+#: approximate by construction.
+_LSH_QUANT = 1_000_000
+
+
+def _rademacher_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes: component (p, d) takes the sign of the
+    top bit of mix64(((seed << 32) + p*dim + d + 1) * GOLDEN) — the same
+    splitmix64 stream the minhash family uses, so the DuckDB twin
+    (kgtm.oracles.q_ann_lsh_topk) regenerates the identical planes in SQL.
+    Rademacher planes are a standard substitute for Gaussian ones in
+    sign-LSH (Achlioptas-style sparse/binary projections): the sign of
+    <v, r> over ±1 components preserves the cosine-LSH collision geometry.
+    """
+    from kgtm.dedup import _GOLDEN64, _splitmix64_np
+
+    idx = (
+        np.arange(n_planes * dim, dtype=np.uint64)
+        + np.uint64(1)
+        + (np.uint64(seed) << np.uint64(32))
+    )
+    z = _splitmix64_np(idx * np.uint64(_GOLDEN64))
+    r = np.where((z >> np.uint64(63)) == 1, 1, -1).astype(np.int64)
+    return r.reshape(n_planes, dim)
 
 
 def bucket_codes_series_factory(
@@ -76,12 +101,13 @@ def bucket_codes_series_factory(
     L*(b+1) keys (primary + every 1-bit flip per table). Keys are
     (table << b) | code so tables never collide.
     """
-    H = _hyperplanes(dim, n_tables * planes_per_table, seed)
+    H = _rademacher_planes(dim, n_tables * planes_per_table, seed)
     b = planes_per_table
 
     def codes(embs: pd.Series) -> pd.Series:
         M = np.stack(embs.to_numpy()).astype(np.float64)  # (rows, dim)
-        signs = (M @ H.T) >= 0  # (rows, L*b)
+        Q = np.floor(M * _LSH_QUANT + 0.5).astype(np.int64)  # fixed-point
+        signs = (Q @ H.T) >= 0  # (rows, L*b) — exact integer signs
         weights = (1 << np.arange(b)).astype(np.int64)
         out_rows = []
         for t in range(n_tables):
@@ -156,6 +182,33 @@ def lsh_topk(
     )
 
 
+def _quantize_np(M: np.ndarray) -> np.ndarray:
+    """Embeddings → the shared 1e-6 fixed-point grid (same contract as the
+    LSH sign computation; DuckDB: floor(e::DOUBLE * 1e6 + 0.5))."""
+    return np.floor(M.astype(np.float64) * _LSH_QUANT + 0.5).astype(np.int64)
+
+
+def _unit_fixed(s: np.ndarray) -> np.ndarray:
+    """Integer vector(s) → unit vector(s) re-quantized onto the 1e-6 grid.
+
+    Every step is either exact integer arithmetic or a deterministic
+    ELEMENTWISE IEEE double op on exactly-agreed integers — no
+    order-dependent float accumulation anywhere — so numpy and DuckDB
+    produce bit-identical centroids: n2 = sum(s_d^2) exactly in int64,
+    nrm = sqrt(double(n2)) (one deterministic int→double rounding), then
+    floor(double(s_d)/nrm * 1e6 + 0.5) per component (s_d <= ~3e8 < 2^53,
+    so double(s_d) is exact)."""
+    s = np.atleast_2d(s)
+    n2 = (s * s).sum(axis=1, keepdims=True)  # exact int64
+    out = np.zeros_like(s)
+    nz = n2[:, 0] > 0
+    nrm = np.sqrt(n2[nz].astype(np.float64))
+    out[nz] = np.floor(
+        s[nz].astype(np.float64) / nrm * _LSH_QUANT + 0.5
+    ).astype(np.int64)
+    return out
+
+
 def kmeans_fit(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -163,22 +216,47 @@ def kmeans_fit(
     k: int = 16,
     max_iter: int = 8,
 ) -> np.ndarray:
-    """Deterministic Lloyd's k-means over unit vectors (the IVF coarse
-    quantizer). Init = the k rows with smallest xxhash64(id) — seedless but
-    deterministic; fixed iteration count (no convergence randomness).
+    """Deterministic FIXED-POINT Lloyd's k-means over unit vectors (the IVF
+    coarse quantizer). Returns int64 centroids on the 1e-6 grid.
+
+    Round-6 determinism contract: init = the k rows with the smallest
+    splitmix64((id+1)*GOLDEN) (SQL-reproducible, unlike xxhash64; ties by
+    id), assignment = argmax of the INTEGER dot <quantized vec, quantized
+    unit centroid> (ties to the smallest centroid index), update = integer
+    member-sums re-unitized via _unit_fixed. Because every accumulation is
+    integer (order-free) and every float op is elementwise-deterministic,
+    the whole quantizer is bitwise-reproducible across partitionings,
+    cluster sizes, AND engines — the DuckDB twin (kgtm.oracles
+    q_ann_ivf_topk) replays all iterations exactly. Cells that lose all
+    members (or sum to zero) keep their previous centroid.
 
     Per iteration: ONE pass assigning + partial-summing per (cluster, dim) —
-    the driver only ever holds k x dim floats. Same driver-loop skeleton as
+    the driver only ever holds k x dim ints. Same driver-loop skeleton as
     connected components.
     """
+    from kgtm.dedup import _GOLDEN64, _splitmix64_np
+
+    @F.pandas_udf("long")
+    def _mix_id(ids: pd.Series) -> pd.Series:
+        z = _splitmix64_np(
+            (ids.to_numpy().astype(np.uint64) + np.uint64(1))
+            * np.uint64(_GOLDEN64)
+        )
+        return pd.Series((z >> np.uint64(1)).view(np.int64))
+
     init_rows = (
-        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
-        .orderBy("h")
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.col(id_col).alias("i"),
+            _mix_id(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h", "i")
         .limit(k)
         .collect()
     )
-    C = np.stack([np.array(r.v, dtype=np.float64) for r in init_rows])
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    C = _unit_fixed(
+        _quantize_np(np.stack([np.array(r.v, dtype=np.float64) for r in init_rows]))
+    )
 
     from pyspark.sql.types import IntegerType
 
@@ -187,26 +265,32 @@ def kmeans_fit(
 
         @F.pandas_udf(IntegerType())
         def assign(vs: pd.Series) -> pd.Series:
-            M = np.stack(vs.to_numpy()).astype(np.float64)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
-            return pd.Series(np.argmax(M @ Cb.T, axis=1).astype(np.int32))
+            Q = _quantize_np(np.stack(vs.to_numpy()))
+            # int64 matmul: exact; np.argmax ties to the smallest index
+            return pd.Series(np.argmax(Q @ Cb.T, axis=1).astype(np.int32))
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def quant(vs: pd.Series) -> pd.Series:
+            return pd.Series(list(_quantize_np(np.stack(vs.to_numpy()))))
 
         sums = (
-            corpus.select(assign(F.col(vec_col)).alias("c"), F.col(vec_col).alias("v"))
-            .select("c", F.posexplode("v").alias("dim", "x"))
+            corpus.select(
+                assign(F.col(vec_col)).alias("c"), quant(F.col(vec_col)).alias("q")
+            )
+            .select("c", F.posexplode("q").alias("dim", "x"))
             .groupBy("c", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("x").alias("s"))
             .collect()
         )
         newC = C.copy()
-        by_c: dict[int, dict[int, float]] = {}
+        by_c: dict[int, dict[int, int]] = {}
         for r in sums:
-            by_c.setdefault(r.c, {})[r.dim] = r.s / (r.n or 1)
+            by_c.setdefault(r.c, {})[r.dim] = r.s
         for c, dims in by_c.items():
-            vec = np.array([dims[d] for d in sorted(dims)])
-            nrm = np.linalg.norm(vec)
-            if nrm > 0:
-                newC[c] = vec / nrm
+            vec = np.array([dims[d] for d in sorted(dims)], dtype=np.int64)
+            u = _unit_fixed(vec)[0]
+            if u.any():
+                newC[c] = u
         C = newC
     return C
 
@@ -232,16 +316,18 @@ def ivf_topk(
 
     @F.pandas_udf(IntegerType())
     def assign1(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+        # integer dot against the fixed-point unit centroids — exact, so the
+        # cell partitioning is bitwise-reproducible (and SQL-replayable)
+        Q = _quantize_np(np.stack(vs.to_numpy()))
+        return pd.Series(np.argmax(Q @ C.T, axis=1).astype(np.int32))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        order = np.argsort(-(M @ C.T), axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
+        Q = _quantize_np(np.stack(vs.to_numpy()))
+        # stable argsort: ties probe the smaller cell index first, matching
+        # the SQL twin's ORDER BY dot DESC, cell ASC
+        order = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
 
     # Same scalar-key-first shape as lsh_topk: the cell join carries ints
     # only; vectors attach once per surviving candidate pair.

@@ -102,6 +102,53 @@ def test_simhash_near_dup(spark, dup_docs):
         simhash_pairs(dup_docs, max_hamming=64)
 
 
+def test_shingle_hash64_three_way_parity():
+    """The vectorized numpy hasher, its scalar Python reference, and the
+    DuckDB HUGEINT twin must agree bit-for-bit — this is the contract that
+    keeps simhash_neardup value-checkable in the driver gate. Covers every
+    routing branch: short/long (> _LONG_CUTOFF), empty, NUL-bearing
+    (scalar fallback), non-ASCII, heterogeneous length-sorted chunks."""
+    import duckdb
+    import numpy as np
+
+    from kgtm.dedup import _LONG_CUTOFF, _hash_shingles64, hash64_py
+    from kgtm.oracles import hash64_sql_ctes
+
+    strs = [
+        "a b c",
+        "c d e",
+        "",
+        "€ döc ünïcode",
+        "x" * (_LONG_CUTOFF + 100),
+        "a b c",
+        "the the the",
+        "\x00zero",
+        "trail\x00",
+        "y" * 17,
+        "short",
+        "m" * 900,  # forces the heterogeneous length-sort branch
+    ]
+    vec = _hash_shingles64(strs)
+    ref = np.array([hash64_py(s) for s in strs], dtype=np.uint64)
+    assert (vec == ref).all()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(i INT, shingle VARCHAR)"
+    )
+    # DuckDB VARCHAR cannot hold NUL — skip those two (they take the
+    # scalar-fallback path already proven equal to hash64_py above)
+    sql_strs = [(i, s) for i, s in enumerate(strs) if "\x00" not in s]
+    con.executemany("INSERT INTO t VALUES (?, ?)", sql_strs)
+    q = (
+        "WITH src AS (SELECT i, shingle FROM t), "
+        + hash64_sql_ctes("src", "i")
+        + " SELECT i, hv FROM hashed"
+    )
+    for i, hv in con.execute(q).fetchall():
+        assert int(hv) == int(ref[i]), strs[i]
+
+
 def test_embedding_neardup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
@@ -235,6 +282,95 @@ def test_multimodal_features(spark, documents):
     # deterministic: same content → same digest/features
     again = {r.asset_id: r for r in extract_features(media).collect()}
     assert again[r0.asset_id].content_digest == r0.content_digest
+
+
+def _bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Hand-rolled 24-bit uncompressed BMP (top-down pixel rows in) — a
+    deterministic fixture no codec library is needed to CREATE, that any
+    real image decoder (incl. PIL) can read."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    row_size = (3 * w + 3) // 4 * 4
+    body = b""
+    for row in reversed(pixels):  # BMP stores bottom-up
+        raw = b"".join(bytes([b, g, r]) for r, g, b in row)
+        body += raw + b"\0" * (row_size - len(raw))
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + dib + body
+
+
+#: two deterministic image assets: solid dark 2x2 and a 4x4 gradient
+BMP_DARK = _bmp([[(10, 10, 10)] * 2] * 2)
+BMP_GRAD = _bmp(
+    [[(16 * (4 * y + x + 1) - 1,) * 3 for x in range(4)] for y in range(4)]
+)
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_multimodal_real_decode_or_stub_fallback(spark):
+    """backend='auto' must route image bytes through the REAL decoder when
+    PIL is importable and fall back to the stub otherwise — both branches
+    keep the (16 features, L1-normalized) contract. Runs green in BOTH
+    environments; the PIL-specific value assertions are guarded."""
+    import pandas as pd
+
+    from kgtm.multimodal import _decode_and_featurize
+
+    auto_dark = _decode_and_featurize(BMP_DARK, "image", "auto")
+    stub_dark = _decode_and_featurize(BMP_DARK, "image", "stub")
+    assert len(auto_dark) == 16 and abs(float(auto_dark.sum()) - 1.0) < 1e-5
+    if _has_pil():
+        # real decode: a solid image has UNIFORM features (each of the 16
+        # resampled pixels carries 1/16 of the mass) — the byte-histogram
+        # stub can't produce that from BMP header bytes
+        assert all(abs(float(v) - 1 / 16) < 1e-6 for v in auto_dark)
+        grad = _decode_and_featurize(BMP_GRAD, "image", "auto")
+        assert float(grad[0]) < float(grad[-1])  # gradient survives decode
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="pil"):
+            _decode_and_featurize(b"not an image", "image", "pil")
+    else:
+        # no codecs in this environment: auto == stub, loudly-labeled fake
+        assert (auto_dark == stub_dark).all()
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="pil"):
+            _decode_and_featurize(BMP_DARK, "image", "pil")
+
+    # end-to-end through the Spark plumbing with the fixture assets
+    from kgtm.multimodal import MEDIA_SCHEMA, extract_features
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2],
+                "media_type": ["image", "image"],
+                "content": [BMP_DARK, BMP_GRAD],
+                "meta_width": [2, 4],
+                "meta_height": [2, 4],
+                "meta_duration_ms": [None, None],
+            }
+        ),
+        MEDIA_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in extract_features(media).collect()}
+    assert len(rows) == 2
+    for r in rows.values():
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-4
 
 
 def test_sample_frames(spark, documents):

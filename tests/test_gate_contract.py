@@ -31,6 +31,43 @@ def test_gate_stays_under_driver_cap():
     assert set(se.oracle_sql()) <= set(qs)
 
 
+def test_incremental_curation_matches_twin(spark):
+    """The store-less incremental-curation variant stays value-checked after
+    rotating out of the driver gate in round 6 (it made room for lsh_recall;
+    the stored variant still holds a gate row against the SAME oracle)."""
+    from kgtm import oracles
+
+    got = sorted(
+        map(tuple, se._q_incremental_curation(spark, SF_DIR).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"SELECT * FROM ({oracles.q_corpus_curation()}) WHERE doc_id >= "
+                "(SELECT (9*(max(doc_id)+1))//10 FROM documents)"
+            ).fetchall(),
+        )
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_lsh_recall_values_are_sane(spark):
+    """The recall gate row's VALUES must be meaningful, not vacuous: every
+    method finds a nonempty truth set and recovers a sane fraction of it."""
+    rows = {r.method: r for r in se._q_lsh_recall(spark, SF_DIR).collect()}
+    assert set(rows) == {"minhash_lsh", "ann_lsh_topk", "ann_ivf_topk"}
+    for m, r in rows.items():
+        assert r.n_truth > 0, m
+        assert 0 <= r.n_hit <= r.n_truth, m
+        assert r.recall >= 0.5, (m, r.recall)
+
+
 def test_simhash_wide_hamming_matches_duckdb_twin(spark):
     """The non-divisor chunking form (max_hamming=16 → 3-bit chunks + 13
     uncovered bits) stays value-checked after rotating out of the driver

@@ -125,6 +125,39 @@ def test_dependency_closure(spark):
     assert len([k for k in got if k[0] == "snap:x"]) == 2
 
 
+def test_dependency_closure_checkpoint_cut(spark):
+    """Plan shape of the checkpoint cadence (BENCH/CLOSURE.md): every
+    iteration's join lineage must be cut by a checkpoint — the returned
+    plan contains NO Join operators, only checkpoint scans unioned with
+    bounded width (<= compact_every frontier frames plus the compacted
+    base), so a depth-100 walk cannot accumulate a 100-join lineage."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    depth = 10
+    rows = [
+        (
+            f"http://h/n{i}",
+            ts,
+            f"snap:n{i}",
+            f"f:n{i}",
+            [f"snap:n{i + 1}"] if i < depth - 1 else [],
+        )
+        for i in range(depth)
+    ]
+    snaps = spark.createDataFrame(rows, ONTOLOGY_SNAPSHOTS_SCHEMA)
+    roots = spark.createDataFrame([("snap:n0",)], "snapshot_iri string")
+    out = dependency_closure(snaps, roots, max_iter=depth + 2, compact_every=4)
+    assert out.count() == depth
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    # depth 10, compact at rounds 4 and 8 → base(ckpt@8) + frontiers 9,10:
+    # union width stays under compact_every even though 10 rounds ran
+    assert plan.count("Union") <= 1
+    n_scans = plan.count("LogicalRDD") + plan.count("ExistingRDD")
+    assert 0 < n_scans <= 4, plan
+
+
 def test_adjacency_lists_caps_super_nodes(spark):
     from kgtm.graph import adjacency_lists
 

@@ -807,19 +807,25 @@ def test_state_refuses_df_cap_drift(spark, documents, tmp_path, monkeypatch):
         append_curated_batch(spark, store, new_docs=b1)
 
 
-def test_shingle_hash_memo_is_bounded(monkeypatch):
-    """The per-batch md5 memo must not retain every distinct shingle of a
-    diverse Arrow batch; past the cap, hashes stay correct but transient."""
+def test_shingle_hash_chunking_is_invariant():
+    """Round 6 replaced the md5+memo hasher with the vectorized polynomial:
+    its row-chunking and length-sorted routing are internal — hashes must be
+    identical however the batch is chunked, including across the 256-row
+    chunk floor and the heterogeneous-length sort branch."""
     import numpy as np
 
     import kgtm.dedup as dd
 
-    monkeypatch.setattr(dd, "_SHINGLE_MEMO_MAX", 2)
-    sh = [f"shingle number {i}" for i in range(6)]
-    cache: dict = {}
-    capped = dd._hash_shingles64(sh, cache)
-    assert len(cache) <= 2
-    assert np.array_equal(capped, dd._hash_shingles64(sh))  # uncached twin
+    # >256 rows with wildly mixed lengths forces multiple chunks + sorting
+    sh = [f"s{i} " * ((i % 7) + 1) for i in range(600)] + ["x" * 5000, ""]
+    whole = dd._hash_shingles64(sh)
+    ref = np.array([dd.hash64_py(s) for s in sh], dtype=np.uint64)
+    assert np.array_equal(whole, ref)
+    # any split of the batch yields the same values (chunking invisibility)
+    parts = np.concatenate(
+        [dd._hash_shingles64(sh[:100]), dd._hash_shingles64(sh[100:])]
+    )
+    assert np.array_equal(parts, ref)
 
 
 def test_recuration_replaces_state_landed_during_curation(

@@ -402,7 +402,9 @@ def test_reconcile_neardup_backstop(spark):
         "uniform victor whiskey xray yankee zulu one two three four "
         "five six seven eight nine ten eleven twelve thirteen fourteen"
     )
-    variant = base.replace("three", "THREE9")  # one middle word of 40
+    # one middle word of 40 ('three' collided under the round-6 splitmix64
+    # minhash family — the planted property below checks the choice)
+    variant = base.replace("seven", "SEVEN9")
     distinct = (
         "completely different content about spark shuffle partitioning and "
         "broadcast joins in a large distributed aggregation pipeline today "
