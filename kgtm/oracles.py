@@ -1882,3 +1882,76 @@ def q_unigram_nll(top_v: int | None = None) -> str:
       FROM flat LEFT JOIN vocab v ON flat.w = v.w, tot
       GROUP BY doc_id
     """
+
+
+def q_substring_dedup(min_words: int = 20) -> str:
+    """Value-checked twin of kgtm.spandedup.substring_dedup: duplicated
+    >= min_words-word spans removed everywhere but their corpus-global
+    first occurrence. Same contract end-to-end — original-case whitespace
+    words with the blank/NULL guard, case-insensitive md5 gram keys
+    (md5(lower(joined gram)) == joining lowered words), first instance per
+    gram value under (doc_id, pos) order, gaps-and-islands interval merge
+    (adjacency merges: pos > prev_max_end + 1 breaks), touched docs
+    reassembled with single spaces, untouched docs byte-identical."""
+    L = int(min_words)
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS w
+        FROM documents),
+      poss AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - {L} + 1)) AS pos
+        FROM toks WHERE len(w) >= {L}),
+      grams AS (
+        SELECT doc_id, pos,
+               md5(lower(array_to_string(w[pos + 1 : pos + {L}], ' '))) AS gh
+        FROM poss),
+      marked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY gh) AS cnt
+        FROM grams),
+      dups AS (
+        SELECT doc_id, pos, pos + {L} - 1 AS e
+        FROM marked WHERE cnt > 1 AND rn > 1),
+      brk AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN pos > coalesce(max(e) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                    THEN 1 ELSE 0 END AS b
+        FROM dups),
+      spans AS (
+        SELECT doc_id, min(pos) AS s, max(e) AS e
+        FROM (SELECT doc_id, pos, e,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+              FROM brk)
+        GROUP BY doc_id, isl),
+      covered AS (
+        SELECT doc_id, unnest(range(s, e + 1)) AS idx FROM spans),
+      widx AS (
+        SELECT doc_id, w, unnest(range(0, len(w))) AS idx
+        FROM toks WHERE len(w) > 0
+          AND doc_id IN (SELECT doc_id FROM spans)),
+      recon AS (
+        SELECT widx.doc_id,
+               coalesce(string_agg(
+                 CASE WHEN c.idx IS NULL THEN widx.w[widx.idx + 1] END,
+                 ' ' ORDER BY widx.idx), '') AS newtext,
+               count(c.idx) AS n_removed
+        FROM widx LEFT JOIN covered c
+          ON c.doc_id = widx.doc_id AND c.idx = widx.idx
+        GROUP BY widx.doc_id),
+      nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+      SELECT t.doc_id,
+             CASE WHEN r.doc_id IS NULL THEN t.text ELSE r.newtext END AS text,
+             CAST(len(t.w) AS BIGINT) AS n_words,
+             CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_words_removed,
+             CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans
+      FROM toks t
+      LEFT JOIN recon r USING (doc_id)
+      LEFT JOIN nsp USING (doc_id)
+    """

@@ -1,0 +1,210 @@
+"""Exact substring-span deduplication (ExactSubstr, Lee et al. 2022 style).
+
+Reference scope note: the reference engine (dbpedia/ontology-time-machine,
+a ~1.4k-LoC ontology-resolution proxy) has no corpus-prep tier; this module
+extends the engine's LLM-training-data suite with the third member of the
+exact-dedup family — document-level (kgtm/dedup.py), paragraph-level
+(kgtm/paragraphs.py), and now SPAN-level: any run of >= ``min_words``
+consecutive words that occurs more than once in the corpus is removed
+everywhere except its first occurrence, cutting the repeated license
+blocks / quoted replies / templated boilerplate that survive both
+document- and paragraph-resolution dedup ("Deduplicating Training Data
+Makes Language Models Better", Lee et al. 2022, operates at 50-token
+resolution on suffix arrays; this is the distributed gram-cover
+formulation of the same contract).
+
+Semantics (word-resolution, first-occurrence-wins, corpus-global):
+
+  - a document's words are ``split(trim(text), '\\s+')`` — ORIGINAL case
+    preserved for reconstruction; the blank/NULL guard yields an empty
+    array (same guard as kgtm.textstats.words_col_guarded);
+  - the duplicate SIGNAL is case-insensitive: the key of the L-gram at
+    word position p is ``md5(lower(concat_ws(' ', words[p..p+L-1])))``
+    (lower of the joined gram == joining lowered words, so the key matches
+    the library-wide lowered tokenization contract while reconstruction
+    keeps original bytes);
+  - an L-gram INSTANCE (doc, p) is a duplicate iff the same gram value has
+    an earlier instance under (id, pos) lexicographic order — the
+    corpus-global first instance of every gram value is never removed;
+  - the word indices covered by duplicate instances ([p, p+L-1] each) are
+    unioned into maximal spans per document and those words are dropped;
+  - a document that lost at least one word is reassembled from its kept
+    words joined with a single space (word bytes exact; whitespace RUNS
+    normalize — word resolution, not byte resolution); a document that
+    lost nothing keeps its original text byte-identically, so a corpus
+    with no >= L-word repeats round-trips byte-for-byte;
+  - documents whose every word is covered come out with text '' (kept as
+    rows — unlike paragraph_dedup, no document vanishes: n_words_removed
+    is the downstream drop signal);
+  - docs with < L words carry no grams and always pass through untouched.
+
+Known gram-cover nuance (deterministic, twin-pinned): the "first"
+occurrence of a long duplicated span can itself lose a PREFIX/INFIX if one
+of its constituent L-grams already occurred in an earlier document — the
+keep-set is defined per gram value, not per maximal span. This is the
+standard cover approximation of suffix-array ExactSubstr and is exactly
+reproducible in SQL, which is what makes the operator value-checkable.
+
+Scale shape (100 TB): three shuffles, all keyed and combine-friendly.
+
+  1. L-gram first-instance aggregation keyed on the 128-bit gram digest —
+     map-side partial min-struct + count, so a boilerplate gram repeated a
+     billion times reaches its reducer pre-combined per upstream
+     partition. Only the (id, pos) pair shuffles per instance, never the
+     gram text (the digest is computed before the exchange).
+  2. One join of gram instances against the duplicated digests (inner,
+     on the digest) to mark non-first instances. Both sides are already
+     partitioned by the digest from shuffle 1's output, so AQE plans this
+     as a co-partitioned join; hot digests are bounded because the
+     aggregate side carries ONE row per gram value.
+  3. One doc_id-keyed window + aggregation to merge covered intervals into
+     maximal spans and attach them as a (small, <= n_words/L entries)
+     array to each touched document. The final keep/cut is pure array
+     expressions (filter + exists) — zero UDF, whole-stage codegen, and
+     only TOUCHED documents join (untouched docs stream through the left
+     join unmodified).
+
+The per-instance explode is L-independent (one row per word position, the
+same cardinality every words-based operator here already shuffles);
+nothing in the plan is quadratic in document length or corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_MIN_WORDS = 20
+
+
+def _words_orig_case(text_col: str) -> "F.Column":
+    """Original-case words with the library's blank/NULL guard (the
+    lowercase variant of this exact expression is
+    kgtm.textstats.words_col_guarded)."""
+    t = F.col(text_col)
+    return F.when(
+        F.trim(F.coalesce(t, F.lit(""))) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+
+
+def gram_instances(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> DataFrame:
+    """(id, pos, gh): one row per L-gram instance; gh is the 128-bit
+    case-insensitive gram digest. Docs with < L words produce no rows
+    (filtered BEFORE the sequence: Spark's sequence(0, -1) would count
+    DOWN, not return empty)."""
+    L = int(min_words)
+    if L < 2:
+        raise ValueError(f"min_words must be >= 2, got {min_words}")
+    return (
+        df.select(F.col(id_col).alias("id"), _words_orig_case(text_col).alias("w"))
+        .filter(F.size("w") >= L)
+        .select(
+            "id", "w", F.explode(F.sequence(F.lit(0), F.size("w") - L)).alias("pos")
+        )
+        .select(
+            "id",
+            "pos",
+            F.md5(
+                F.lower(F.concat_ws(" ", F.slice("w", F.col("pos") + 1, L)))
+            ).alias("gh"),
+        )
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> DataFrame:
+    """(id, s, e): maximal merged word-index intervals (inclusive) covered
+    by non-first duplicate gram instances, per document."""
+    L = int(min_words)
+    grams = gram_instances(df, text_col, id_col, min_words)
+    # first instance per gram value = min (id, pos) struct; map-side
+    # combinable, one row per gram value out. (id, pos) is unique per
+    # instance, so the struct min is a total order.
+    per_gram = grams.groupBy("gh").agg(
+        F.min(F.struct("id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dups = (
+        grams.join(per_gram.filter(F.col("cnt") > 1), "gh")
+        .filter(
+            (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("id", "pos", (F.col("pos") + L - 1).alias("e"))
+    )
+    # gaps-and-islands over covered intervals: a new island starts when
+    # this instance's start exceeds the running max end + 1 (adjacent
+    # intervals merge — the covered index set is what matters).
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dups.select(
+        "id",
+        "pos",
+        "e",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    isl = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.select("id", "pos", "e", isl.alias("isl"))
+        .groupBy("id", "isl")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+        .select("id", "s", "e")
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> DataFrame:
+    """(id_col, text, n_words, n_words_removed, n_spans): the corpus with
+    every duplicated >= min_words-word span removed except its first
+    occurrence (module docstring has the full contract). Untouched
+    documents keep their text byte-identically."""
+    spans_arr = (
+        dup_spans(df, text_col, id_col, min_words)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")).join(
+        spans_arr, "id", "left"
+    )
+    w = _words_orig_case("_text")
+    # keep word i iff no span covers it; pure array exprs (codegen), the
+    # inner exists captures the outer filter's index variable.
+    kept = F.filter(
+        w,
+        lambda x, i: ~F.exists(
+            F.col("spans"), lambda sp: (sp["s"] <= i) & (i <= sp["e"])
+        ),
+    )
+    n_words = F.size(w)
+    out = base.select(
+        "id",
+        n_words.alias("n_words"),
+        F.when(F.col("spans").isNull(), F.lit(0))
+        .otherwise(n_words - F.size(kept))
+        .alias("n_words_removed"),
+        F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
+        F.when(F.col("spans").isNull(), F.col("_text"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("text"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "text",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_words_removed").cast("long").alias("n_words_removed"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )

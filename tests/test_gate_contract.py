@@ -57,6 +57,28 @@ def test_incremental_curation_matches_twin(spark):
     assert got == want
 
 
+def test_accessibility_matrix_matches_twin(spark):
+    """The single-source accessibility matrix stays value-checked after
+    rotating out of the driver gate in round 6 (it made room for
+    substring_dedup; the dual variant keeps a gate row pivoting the SAME
+    15-category taxonomy over both run modes — its proxy leg is exactly
+    this matrix)."""
+    from kgtm import oracles
+
+    got = sorted(
+        map(tuple, se._q_accessibility_matrix(spark, SF_DIR).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(oracles.q_accessibility_matrix()).fetchall())
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
 def test_lsh_recall_values_are_sane(spark):
     """The recall gate row's VALUES must be meaningful, not vacuous: every
     method finds a nonempty truth set and recovers a sane fraction of it."""

@@ -1,0 +1,146 @@
+"""Exact substring-span dedup (kgtm/spandedup.py): planted corners against
+hand-computed truth, full corpus parity against the DuckDB twin, and the
+plan-shape invariant (no UDF — the keep/cut is pure array expressions)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kgtm import oracles
+from kgtm.spandedup import dup_spans, substring_dedup
+from tests.conftest import SF_DIR, duck_docs
+
+L = 10  # planted cases use a 10-word resolution for readability
+
+
+def _run(spark, rows, min_words=L):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup(df, min_words=min_words).collect()
+    }
+
+
+SPAN = "a b c d e f g h i j"  # the 10-word duplicated span
+
+
+def test_planted_corners(spark):
+    out = _run(
+        spark,
+        [
+            (1, SPAN),  # corpus-global first occurrence
+            (2, f"x y {SPAN} z"),  # infix copy -> cut
+            (3, SPAN),  # whole-doc duplicate -> ''
+            (4, "short doc"),  # < L words: untouched
+            (5, None),  # NULL text: untouched
+            (6, "  "),  # blank: untouched
+            (7, f"p q r s t u v w x1 y1 {SPAN} t1 t2"),  # head+tail kept
+        ],
+    )
+    assert out[1] == {
+        "doc_id": 1, "text": SPAN, "n_words": 10,
+        "n_words_removed": 0, "n_spans": 0,
+    }
+    assert out[2]["text"] == "x y z" and out[2]["n_words_removed"] == 10
+    assert out[3]["text"] == "" and out[3]["n_words_removed"] == 10
+    assert out[4]["text"] == "short doc" and out[4]["n_spans"] == 0
+    assert out[5]["text"] is None and out[5]["n_words"] == 0
+    assert out[6]["text"] == "  "  # untouched docs keep bytes (even blanks)
+    assert out[7]["text"] == "p q r s t u v w x1 y1 t1 t2"
+    assert out[7]["n_spans"] == 1
+
+
+def test_long_span_merges_overlapping_grams(spark):
+    """A 15-word duplicated run is covered by 6 overlapping 10-grams that
+    must merge into ONE maximal span of 15 removed words."""
+    long_span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    out = _run(spark, [(1, long_span), (2, f"pre {long_span} post")])
+    assert out[2]["text"] == "pre post"
+    assert out[2]["n_words_removed"] == 15
+    assert out[2]["n_spans"] == 1
+
+
+def test_two_disjoint_spans_stay_separate(spark):
+    sp2 = "k l m n o p q r s t"
+    filler = "f1 f2 f3 f4 f5"
+    out = _run(
+        spark,
+        [(1, SPAN), (2, sp2), (3, f"{SPAN} {filler} {sp2}")],
+    )
+    assert out[3]["text"] == filler
+    assert out[3]["n_spans"] == 2
+    assert out[3]["n_words_removed"] == 20
+
+
+def test_within_doc_repeat_keeps_first(spark):
+    out = _run(spark, [(1, f"{SPAN} mid1 mid2 {SPAN}")])
+    assert out[1]["text"] == f"{SPAN} mid1 mid2"
+    assert out[1]["n_words_removed"] == 10
+
+
+def test_case_insensitive_signal_original_case_kept(spark):
+    """The dup signal lowers; the SURVIVING copy keeps its original case
+    and the removed copy's kept words keep theirs."""
+    upper = SPAN.upper()
+    out = _run(spark, [(1, upper), (2, f"Xx {SPAN} Yy")])
+    assert out[1]["text"] == upper and out[1]["n_words_removed"] == 0
+    assert out[2]["text"] == "Xx Yy" and out[2]["n_words_removed"] == 10
+
+
+def test_first_occurrence_order_is_doc_then_pos(spark):
+    """Ties break by (doc_id, pos): doc 1 keeps, doc 2 loses — and swapping
+    ids swaps the survivor."""
+    out = _run(spark, [(1, SPAN), (2, SPAN)])
+    assert out[1]["n_words_removed"] == 0 and out[2]["n_words_removed"] == 10
+    out = _run(spark, [(2, SPAN), (1, SPAN)])
+    assert out[1]["n_words_removed"] == 0 and out[2]["n_words_removed"] == 10
+
+
+def test_dup_free_corpus_roundtrips_byte_identically(spark):
+    rows = [(1, "one  two\tthree "), (2, "totally different words here")]
+    out = _run(spark, rows)
+    assert out[1]["text"] == "one  two\tthree "
+    assert out[2]["text"] == "totally different words here"
+    assert all(o["n_words_removed"] == 0 for o in out.values())
+
+
+def test_dup_spans_intermediate(spark):
+    df = spark.createDataFrame(
+        [(1, SPAN), (2, f"x y {SPAN} z")], "doc_id long, text string"
+    )
+    spans = {(r.id, r.s, r.e) for r in dup_spans(df, min_words=L).collect()}
+    assert spans == {(2, 2, 11)}
+
+
+def test_min_words_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        substring_dedup(df, min_words=1)
+
+
+def test_corpus_matches_duckdb_twin(spark, documents):
+    got = (
+        substring_dedup(documents, min_words=20)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duck_docs(parquet_docs=SF_DIR)
+    want = (
+        con.execute(oracles.q_substring_dedup(20))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got, want = got[sorted(got.columns)], want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want)
+    # the corpus' planted near-dups guarantee the operator does real work
+    assert (got.n_words_removed > 0).sum() >= 10
+
+
+def test_plan_has_no_python_udf(spark, documents):
+    """The whole operator is codegen/array expressions — a Python eval node
+    in this plan would be a 100-TB regression."""
+    plan = substring_dedup(documents)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
