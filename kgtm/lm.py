@@ -135,3 +135,75 @@ def score_unigram_nll(
         F.sum("is_oov").cast("bigint").alias("n_oov"),
         F.round(F.avg("bits"), 6).alias("nll_bits"),
     )
+
+
+DEFAULT_BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def nll_bucket_thresholds(
+    scored: DataFrame, n_buckets: int = 3, score_col: str = "nll_bits"
+) -> DataFrame:
+    """One-row DataFrame with `_thresholds`: the (n_buckets-1) exact
+    linear-interpolation percentile boundaries of ``score_col`` at
+    fractions 1/n .. (n-1)/n, each rounded to 6 dp (the library's float
+    contract — DuckDB's quantile_cont interpolates identically, so the
+    rounded boundaries match cross-engine). Computed as ONE distributed
+    aggregate; the result is a broadcast scalar, never a global sort of
+    the corpus."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    return scored.agg(
+        F.transform(
+            F.percentile(F.col(score_col), fracs), lambda x: F.round(x, 6)
+        ).alias("_thresholds")
+    )
+
+
+def bucket_by_nll(
+    scored: DataFrame,
+    thresholds: DataFrame | None = None,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = DEFAULT_BUCKET_LABELS,
+    score_col: str = "nll_bits",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): every
+    scored document tagged head/middle/tail (or n custom buckets) by where
+    its ``score_col`` falls among the corpus percentile boundaries —
+    CCNet trains on "head", the lowest-perplexity slice.
+
+    Bucket index = number of boundaries STRICTLY below the score (a score
+    exactly on a boundary goes to the LOWER bucket — deterministic tie
+    rule, twin-pinned). Pass a precomputed ``thresholds`` frame (e.g. from
+    a trusted reference corpus, CCNet's actual setup) to decouple boundary
+    estimation from assignment; by default boundaries come from ``scored``
+    itself.
+
+    Scale shape: one aggregate for the boundaries, then a one-row
+    broadcast crossJoin + an O(n_buckets) fold per row — the corpus is
+    never globally sorted and never shuffles (contrast ntile(), which
+    would plan a single-partition window over 10^12 rows)."""
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"labels has {len(labels)} entries for n_buckets={n_buckets}"
+        )
+    if thresholds is None:
+        thresholds = nll_bucket_thresholds(scored, n_buckets, score_col)
+    idx = F.aggregate(
+        "_thresholds",
+        F.lit(0),
+        lambda acc, t: acc + (F.col(score_col) > t).cast("int"),
+    )
+    cols = [c for c in scored.columns]
+    out = scored.crossJoin(F.broadcast(thresholds)).select(
+        *cols, idx.alias("nll_bucket")
+    )
+    if labels is not None:
+        out = out.select(
+            *cols,
+            "nll_bucket",
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col("nll_bucket") + 1
+            ).alias("bucket_label"),
+        )
+    return out

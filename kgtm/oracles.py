@@ -1955,3 +1955,26 @@ def q_substring_dedup(min_words: int = 20) -> str:
       LEFT JOIN recon r USING (doc_id)
       LEFT JOIN nsp USING (doc_id)
     """
+
+
+def q_nll_buckets(top_v: int | None = None) -> str:
+    """Value-checked twin of kgtm.lm.bucket_by_nll over q_unigram_nll's
+    scores (default head/middle/tail tertiles): DuckDB's quantile_cont
+    interpolates exactly like Spark's percentile (both type-7 linear),
+    boundaries rounded to 6 dp, bucket index = count of boundaries
+    STRICTLY below the score (boundary ties go LOW on both engines)."""
+    return f"""
+      WITH scored AS (SELECT * FROM ({q_unigram_nll(top_v)})),
+      th AS (
+        SELECT list_transform(
+                 [quantile_cont(nll_bits, 1.0/3), quantile_cont(nll_bits, 2.0/3)],
+                 x -> round(x, 6)) AS t
+        FROM scored)
+      SELECT s.doc_id, s.n_tokens, s.n_oov, s.nll_bits,
+             CAST(len(list_filter(th.t, x -> s.nll_bits > x)) AS INT)
+               AS nll_bucket,
+             (['head', 'middle', 'tail'])[
+               len(list_filter(th.t, x -> s.nll_bits > x)) + 1]
+               AS bucket_label
+      FROM scored s, th
+    """

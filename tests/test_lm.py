@@ -105,3 +105,86 @@ def test_unigram_nll_whitespace_docs_no_phantom_tokens(spark):
     assert got == [(1, 2, 0, exp1), (3, 1, 0, exp3)]
     planted = pd.DataFrame(rows, columns=["doc_id", "text"])
     assert got == _lm_oracle_rows(_duck(planted=planted))
+
+
+def test_bucket_by_nll_planted_semantics(spark):
+    """Six docs with distinct scores split 2/2/2 into head/middle/tail;
+    thresholds and tie rule hand-checked (boundary ties go LOW)."""
+    from kgtm.lm import bucket_by_nll
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(1, 7), "nll_bits": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}
+    )
+    scored = spark.createDataFrame(pdf)
+    out = {r.doc_id: r for r in bucket_by_nll(scored).collect()}
+    # tertile boundaries of [1..6]: t1 = 1 + 5/3 = 2.666667, t2 = 4.333333
+    assert [out[i].bucket_label for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+    # a score exactly ON a boundary goes to the lower bucket
+    pdf2 = pd.DataFrame({"doc_id": [1, 2, 3, 4], "nll_bits": [0.0, 1.0, 2.0, 3.0]})
+    out2 = {
+        r.doc_id: r.nll_bucket
+        for r in bucket_by_nll(spark.createDataFrame(pdf2)).collect()
+    }
+    assert out2 == {1: 0, 2: 0, 3: 1, 4: 2}  # t = [1.0, 2.0]: ties stay low
+
+
+def test_bucket_by_nll_matches_duckdb_twin_corpus(spark, documents):
+    from kgtm import oracles
+    from kgtm.lm import bucket_by_nll, unigram_nll
+
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_oov, r.nll_bits, r.nll_bucket, r.bucket_label)
+        for r in bucket_by_nll(unigram_nll(documents)).collect()
+    )
+    want = sorted(
+        (int(d), int(nt), int(no), float(nb), int(b), lbl)
+        for d, nt, no, nb, b, lbl in _duck(parquet_docs=SF)
+        .execute(oracles.q_nll_buckets())
+        .fetchall()
+    )
+    assert got == want
+    # tertiles over a 500-doc corpus: every bucket is populated
+    counts = pd.Series([lbl for *_, lbl in got]).value_counts()
+    assert set(counts.index) == {"head", "middle", "tail"}
+    assert counts.min() >= 100
+
+
+def test_bucket_by_nll_external_thresholds_and_validation(spark):
+    """CCNet's actual setup: boundaries from a TRUSTED corpus, assignment
+    on another — plus arg validation."""
+    import pytest
+
+    from kgtm.lm import bucket_by_nll, nll_bucket_thresholds
+
+    trusted = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "nll_bits": [1.0, 2.0, 3.0]})
+    )
+    th = nll_bucket_thresholds(trusted)  # t = [1.666667, 2.333333]
+    target = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12], "nll_bits": [0.5, 2.0, 9.9]})
+    )
+    out = {r.doc_id: r.bucket_label for r in bucket_by_nll(target, thresholds=th).collect()}
+    assert out == {10: "head", 11: "middle", 12: "tail"}
+    with pytest.raises(ValueError):
+        nll_bucket_thresholds(trusted, n_buckets=1)
+    with pytest.raises(ValueError):
+        bucket_by_nll(target, labels=("a", "b"))  # 2 labels, 3 buckets
+
+
+def test_bucket_by_nll_plan_shape(spark, documents):
+    """The bucketing adds NO shuffle of the scored corpus: thresholds fold
+    in as a one-row broadcast, assignment is a per-row array fold."""
+    from kgtm.lm import bucket_by_nll, unigram_nll
+
+    plan = (
+        bucket_by_nll(unigram_nll(documents))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row scalar fold
+    # no window operator anywhere (an ntile() formulation would plan a
+    # single-partition Window over the whole corpus)
+    assert "Window" not in plan
