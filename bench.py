@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "failover_resolution",
     "incremental_relink",
     "dedup_exact",
+    "substring_dedup",
     "corpus_curation",
     "incremental_curation_stored",
     "ngram_jaccard",

@@ -4,11 +4,13 @@ kgtm/cli.py's KG pipeline.
 
 Applies the selected stages to a documents table in the canonical order
 
-    paradedup -> redact -> filter -> split -> mixture -> (chunk | pack)
+    paradedup -> spandedup -> redact -> filter -> split -> mixture -> (chunk | pack)
 
 ``paradedup`` removes every non-first occurrence of a duplicated paragraph
 corpus-wide (C4-style boilerplate removal) before any per-document signal
-is computed; ``split`` tags rows train/holdout deterministically BEFORE the
+is computed; ``spandedup`` then cuts duplicated >=N-word SPANS that survive
+paragraph resolution (ExactSubstr-style, kgtm/spandedup.py), so both
+boilerplate layers are gone before signals; ``split`` tags rows train/holdout deterministically BEFORE the
 mixture stage so holdout documents are never epoch-replicated.
 
 and commits the result through the manifest store (same lineage/metrics
@@ -32,7 +34,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-STAGE_ORDER = ["paradedup", "redact", "filter", "split", "mixture", "chunk", "pack"]
+STAGE_ORDER = ["paradedup", "spandedup", "redact", "filter", "split", "mixture", "chunk", "pack"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -58,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="literal paragraph separator for the paradedup stage")
     p.add_argument("--para-min-chars", type=int, default=20,
                    help="paragraphs shorter than this (trimmed) are never deduped")
+    p.add_argument("--span-min-words", type=int, default=20,
+                   help="spandedup: duplicated runs of at least this many "
+                   "words are removed everywhere but their first occurrence")
     p.add_argument("--holdout-frac", type=float, default=0.01,
                    help="holdout fraction for the split stage")
     p.add_argument("--split-salt", default="split")
@@ -138,6 +143,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 # rejoin non-text columns; docs left with zero kept
                 # paragraphs drop here (inner join on the survivor set)
+                out = out.drop("text").join(
+                    deduped.select("doc_id", "text"), "doc_id"
+                )
+            elif stage == "spandedup":
+                from kgtm.spandedup import substring_dedup
+
+                deduped = substring_dedup(out, min_words=args.span_min_words)
+                # rejoin non-text columns; spandedup keeps every row (docs
+                # cut to zero words carry text '' — n_words_removed is the
+                # drop signal), so this join is lossless
                 out = out.drop("text").join(
                     deduped.select("doc_id", "text"), "doc_id"
                 )

@@ -232,9 +232,9 @@ def test_leakage_safe_split_matches_twin_and_is_cluster_atomic(spark, documents)
 
 
 def test_prep_cli_paradedup_split_subprocess(tmp_path, spark):
-    """Drive the prep CLI through paradedup -> redact -> filter -> split ->
-    mixture -> chunk: holdout rows keep exactly one epoch-0 copy and the
-    split tag survives chunking."""
+    """Drive the prep CLI through paradedup -> spandedup -> redact ->
+    filter -> split -> mixture -> chunk: holdout rows keep exactly one
+    epoch-0 copy and the split tag survives chunking."""
     import json as _json
     import subprocess
     import sys as _sys
@@ -250,7 +250,7 @@ def test_prep_cli_paradedup_split_subprocess(tmp_path, spark):
             _sys.executable, str(repo / "kgtm" / "prep_cli.py"),
             "--documents", f"{SF}/documents.parquet",
             "--out", str(tmp_path / "prepped"),
-            "--stages", "paradedup,redact,filter,split,mixture,chunk",
+            "--stages", "paradedup,spandedup,redact,filter,split,mixture,chunk",
             "--thresholds", lenient,
             "--weights", '{"src0": 2.0}',
             "--holdout-frac", "0.1",
