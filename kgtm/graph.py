@@ -192,3 +192,120 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
+
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = 4,
+    pool_size: int = 65536,
+    salt: str = "negsamp",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Deterministic FILTERED negative sampling for KG-embedding training
+    (TransE-family: Bordes et al. 2013): for every complete (subj, pred,
+    obj) triple, up to ``k`` corrupted copies — head or tail replaced by a
+    pool entity — with any corruption that collides with a TRUE triple
+    dropped (Bernoulli-side filtered sampling, the standard training-set
+    recipe). Everything is a pure hash function of (triple, draw index,
+    salt), so the sample is reproducible across runs, partitionings, and
+    engines (the DuckDB twin replays it bit-for-bit).
+
+    Draw contract (shared 32-bit md5 idiom, kgtm.mixture.hash32_col):
+    draw = first 32 bits of md5(subj\\x1fpred\\x1fobj\\x1f{i}:{salt});
+    parity picks the corrupted side (even → subj, odd → obj); draw >> 1
+    mod pool-count picks the replacement from the entity pool. The pool is
+    the ``pool_size`` entities with the smallest (md5(entity), entity) —
+    a distributed TakeOrderedAndProject (never a global sort of the
+    entity set); its dense index is a row_number window over the LIMITed
+    frame, bounded by pool_size rows (the k-means-centroid-table pattern —
+    a deliberate small-side sort, broadcast afterwards).
+
+    Scale shape (10^12 triples): the positives explode x k and everything
+    per-row is codegen; the pool joins in as a BROADCAST hash join on the
+    dense index; the one real shuffle is the final left_anti join against
+    the true-triple set on (neg_subj, pred, neg_obj). Triples with a NULL
+    endpoint (the extraction layer emits them; pagerank excludes them too)
+    carry no corruption signal and are filtered out up front.
+    """
+    from kgtm.mixture import hash32_col
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if pool_size < 2:
+        raise ValueError(f"pool_size must be >= 2, got {pool_size}")
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).filter(
+        F.col("subj").isNotNull()
+        & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull()
+    )
+    ents = (
+        t.select(F.col("subj").alias("entity"))
+        .unionByName(t.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    limited = ents.orderBy(F.md5("entity"), "entity").limit(pool_size)
+    pool = limited.select(
+        "entity",
+        (
+            F.row_number().over(
+                Window.orderBy(F.md5("entity"), "entity")
+            )
+            - 1
+        ).alias("pool_idx"),
+    )
+    n_pool = pool.agg(F.count(F.lit(1)).alias("_n_pool"))
+
+    key = F.concat_ws(
+        "\x1f", "subj", "pred", "obj", F.col("sample_idx").cast("string")
+    )
+    drawn = (
+        t.select(
+            "subj",
+            "pred",
+            "obj",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("sample_idx"),
+        )
+        .select("*", hash32_col(key, salt).alias("_draw"))
+        .crossJoin(F.broadcast(n_pool))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "sample_idx",
+            F.when(F.pmod("_draw", F.lit(2)) == 0, F.lit("subj"))
+            .otherwise(F.lit("obj"))
+            .alias("side"),
+            F.pmod(F.shiftright("_draw", 1), F.col("_n_pool")).alias("pool_idx"),
+        )
+    )
+    neg = (
+        drawn.join(F.broadcast(pool), "pool_idx")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "sample_idx",
+            "side",
+            F.when(F.col("side") == "subj", F.col("entity"))
+            .otherwise(F.col("subj"))
+            .alias("neg_subj"),
+            F.when(F.col("side") == "obj", F.col("entity"))
+            .otherwise(F.col("obj"))
+            .alias("neg_obj"),
+        )
+    )
+    return neg.join(
+        t.select(
+            F.col("subj").alias("neg_subj"),
+            "pred",
+            F.col("obj").alias("neg_obj"),
+        ),
+        ["neg_subj", "pred", "neg_obj"],
+        "left_anti",
+    ).select("subj", "pred", "obj", "sample_idx", "side", "neg_subj", "neg_obj")

@@ -1978,3 +1978,59 @@ def q_nll_buckets(top_v: int | None = None) -> str:
                AS bucket_label
       FROM scored s, th
     """
+
+
+def q_negative_samples(
+    k: int = 4, pool_size: int = 65536, salt: str = "negsamp"
+) -> str:
+    """Value-checked twin of kgtm.graph.negative_samples over a `triples`
+    view (subj, pred, obj): the same md5-first-32-bits draw (mixture's
+    hash32 idiom), parity side pick, draw>>1 mod pool-count replacement
+    from the (md5(entity), entity)-smallest pool, and NOT EXISTS filter
+    against true triples."""
+    return f"""
+      WITH t AS (
+        SELECT subj, pred, obj FROM triples
+        WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+      ents AS (
+        SELECT DISTINCT entity FROM (
+          SELECT subj AS entity FROM t
+          UNION ALL SELECT obj AS entity FROM t)),
+      pool AS (
+        SELECT entity,
+               row_number() OVER (ORDER BY md5(entity), entity) - 1
+                 AS pool_idx
+        FROM (SELECT entity FROM ents
+              ORDER BY md5(entity), entity LIMIT {pool_size})),
+      np AS (SELECT count(*) AS n_pool FROM pool),
+      pos0 AS (
+        SELECT subj, pred, obj,
+               unnest(range(0, {k})) AS sample_idx
+        FROM t),
+      pos AS (
+        SELECT subj, pred, obj, sample_idx,
+               CAST('0x' || substr(md5(
+                 subj || chr(31) || pred || chr(31) || obj || chr(31) ||
+                 CAST(sample_idx AS VARCHAR) || ':{salt}'), 1, 8)
+                 AS UBIGINT) AS draw
+        FROM pos0),
+      drawn AS (
+        SELECT subj, pred, obj, CAST(sample_idx AS INT) AS sample_idx,
+               CASE WHEN draw % 2 = 0 THEN 'subj' ELSE 'obj' END AS side,
+               CAST((draw // 2) % np.n_pool AS BIGINT) AS pool_idx
+        FROM pos, np),
+      neg AS (
+        SELECT d.subj, d.pred, d.obj, d.sample_idx, d.side,
+               CASE WHEN d.side = 'subj' THEN p.entity ELSE d.subj END
+                 AS neg_subj,
+               CASE WHEN d.side = 'obj' THEN p.entity ELSE d.obj END
+                 AS neg_obj
+        FROM drawn d JOIN pool p USING (pool_idx))
+      SELECT n.subj, n.pred, n.obj, n.sample_idx, n.side,
+             n.neg_subj, n.neg_obj
+      FROM neg n
+      WHERE NOT EXISTS (
+        SELECT 1 FROM t
+        WHERE t.subj = n.neg_subj AND t.pred = n.pred
+          AND t.obj = n.neg_obj)
+    """

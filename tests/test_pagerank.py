@@ -104,3 +104,121 @@ def test_pagerank_null_endpoints_excluded_and_mass_conserved(spark):
     for node, r in want.items():
         assert got[node] == pytest.approx(r, abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (TransE-style corrupted triples)
+# ---------------------------------------------------------------------------
+
+
+def _planted_triples(spark):
+    rows = [
+        ("e1", "knows", "e2"),
+        ("e1", "likes", "e3"),
+        ("e2", "knows", "e3"),
+        ("e3", "knows", "e4"),
+        ("e4", "likes", "e1"),
+        ("e5", "knows", None),  # NULL endpoint: never sampled
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_negative_samples_contract(spark):
+    from kgtm.graph import negative_samples
+
+    t = _planted_triples(spark)
+    out = negative_samples(t, k=4, pool_size=8).collect()
+    true = {("e1", "knows", "e2"), ("e1", "likes", "e3"), ("e2", "knows", "e3"),
+            ("e3", "knows", "e4"), ("e4", "likes", "e1")}
+    ents = {e for s, _, o in true for e in (s, o)}
+    assert out  # the filter never empties a 5-triple corpus at k=4
+    for r in out:
+        # every negative differs from EVERY true triple
+        assert (r.neg_subj, r.pred, r.neg_obj) not in true
+        # exactly one side is corrupted, with a pool entity
+        if r.side == "subj":
+            assert r.neg_obj == r.obj and r.neg_subj in ents
+        else:
+            assert r.side == "obj" and r.neg_subj == r.subj
+            assert r.neg_obj in ents
+        assert 0 <= r.sample_idx < 4
+        assert (r.subj, r.pred, r.obj) in true  # NULL-endpoint row excluded
+    # deterministic: a second run is identical
+    again = negative_samples(t, k=4, pool_size=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different salt draws a different sample
+    other = negative_samples(t, k=4, pool_size=8, salt="other").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_negative_samples_validation(spark):
+    import pytest as _pt
+
+    from kgtm.graph import negative_samples
+
+    t = _planted_triples(spark)
+    with _pt.raises(ValueError):
+        negative_samples(t, k=0)
+    with _pt.raises(ValueError):
+        negative_samples(t, pool_size=1)
+
+
+def test_negative_samples_matches_duckdb_twin_on_flagship(spark, events):
+    """Cross-engine: both engines sample from the SAME materialized triple
+    table (the flagship pipeline's output) and must emit the identical
+    negative set, row for row."""
+    import duckdb
+
+    from kgtm import oracles
+    from kgtm.graph import negative_samples
+    from kgtm.pipeline import build_triples
+    from kgtm.transcripts import (
+        events_to_transcripts,
+        ontology_index_df,
+        ontology_snapshots_df,
+    )
+
+    triples = build_triples(
+        events_to_transcripts(events),
+        ontology_index_df(spark),
+        ontology_snapshots_df(spark),
+    ).select("subj", "pred", "obj")
+    got = sorted(
+        map(tuple, negative_samples(triples, k=2, pool_size=16).collect())
+    )
+    pdf = triples.toPandas()
+    con = duckdb.connect()
+    con.register("triples", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                oracles.q_negative_samples(k=2, pool_size=16)
+            ).fetchall(),
+        )
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_negative_samples_plan_broadcasts_pool(spark, events):
+    from kgtm.graph import negative_samples
+    from kgtm.pipeline import build_triples
+    from kgtm.transcripts import (
+        events_to_transcripts,
+        ontology_index_df,
+        ontology_snapshots_df,
+    )
+
+    triples = build_triples(
+        events_to_transcripts(events),
+        ontology_index_df(spark),
+        ontology_snapshots_df(spark),
+    ).select("subj", "pred", "obj")
+    plan = (
+        negative_samples(triples)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # the pool lookup never shuffles
