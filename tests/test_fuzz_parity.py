@@ -162,3 +162,49 @@ def test_fuzz_negotiation_spark_vs_pure(spark):
     }
     for h in headers:
         assert got[h] == get_format_from_accept_header(h), repr(h)
+
+
+def test_fuzz_substring_dedup_spark_vs_duckdb(spark):
+    """Randomized corpora from a tiny vocabulary (forcing accidental shared
+    grams) plus injected boilerplate phrases at random positions: the Spark
+    plan and the DuckDB twin must agree row for row — text bytes, removed
+    counts, and span counts — across seeds."""
+    import duckdb
+    import pandas as pd
+
+    from kgtm import oracles
+    from kgtm.spandedup import substring_dedup
+
+    L = 5
+    for seed in (7, 99, 2026):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        boiler = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(L, 2 * L)))
+            for _ in range(3)
+        ]
+        rows = []
+        for d in range(60):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+            if rng.random() < 0.6:
+                ins = rng.choice(boiler).split()
+                at = rng.randint(0, len(words))
+                words[at:at] = ins
+            text = " ".join(words)
+            if rng.random() < 0.05:
+                text = None
+            elif rng.random() < 0.05:
+                text = "   "
+            rows.append((d, text))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(map(tuple, substring_dedup(df, min_words=L).collect()))
+        con = duckdb.connect()
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "Int64"}
+        )
+        con.register("documents", pdf)
+        want = sorted(
+            map(tuple, con.execute(oracles.q_substring_dedup(L)).fetchall())
+        )
+        assert len(got) == 60 == len(want), seed
+        assert got == want, seed
