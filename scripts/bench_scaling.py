@@ -40,6 +40,10 @@ spark.sparkContext.setLogLevel("ERROR")
 # BOTH parallelism levels (the classic 2-4x-tasks-per-core rule).
 amplified_transcripts(spark, sf_dir, amplify).repartition(parts).write.mode(
     "overwrite").parquet(out)
+# record the factor beside the data: a later invocation that REUSES this
+# input (the _SUCCESS check) must not label the run with its own env default
+import pathlib
+pathlib.Path(out, "_AMPLIFY").write_text(str(amplify))
 spark.stop()
 """
 
@@ -167,6 +171,10 @@ def main() -> None:
             env=_env(hi, amplify, sf_dir, scale_input),
             check=True,
         )
+    marker = Path(scale_input) / "_AMPLIFY"
+    if marker.exists():
+        # reused input: the factor it was materialized at, not this run's env
+        amplify = int(marker.read_text().strip())
 
     # Multi-tenant box: interleave levels, keep per-level best — drift in
     # background load then hits both levels symmetrically.
