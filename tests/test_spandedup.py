@@ -144,3 +144,20 @@ def test_plan_has_no_python_udf(spark, documents):
     in this plan would be a 100-TB regression."""
     plan = substring_dedup(documents)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_plan_shuffle_shape(spark, documents):
+    """Scale contract: exactly TWO keyed shuffles (the gram-digest
+    aggregate and the per-doc interval merge/reassembly), both windows
+    partitioned by doc — never a global sort, a single-partition exchange,
+    or a cartesian product."""
+    plan = substring_dedup(documents)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    # every window spec is keyed on the doc id (per-doc, bounded work)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\((\w+#\d+L?)", plan):
+        assert spec.startswith("id#"), spec
