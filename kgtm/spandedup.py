@@ -116,6 +116,30 @@ def gram_instances(
     )
 
 
+def _merge_intervals(dups: DataFrame) -> DataFrame:
+    """(id, s, e) maximal merged intervals from (id, pos, e) instance rows:
+    gaps-and-islands over covered intervals — a new island starts when
+    this instance's start exceeds the running max end + 1 (adjacent
+    intervals merge; the covered index set is what matters)."""
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dups.select(
+        "id",
+        "pos",
+        "e",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    isl = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.select("id", "pos", "e", isl.alias("isl"))
+        .groupBy("id", "isl")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+        .select("id", "s", "e")
+    )
+
+
 def dup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -140,26 +164,7 @@ def dup_spans(
         )
         .select("id", "pos", (F.col("pos") + L - 1).alias("e"))
     )
-    # gaps-and-islands over covered intervals: a new island starts when
-    # this instance's start exceeds the running max end + 1 (adjacent
-    # intervals merge — the covered index set is what matters).
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    marked = dups.select(
-        "id",
-        "pos",
-        "e",
-        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1)
-        .otherwise(0)
-        .alias("brk"),
-    )
-    isl = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return (
-        marked.select("id", "pos", "e", isl.alias("isl"))
-        .groupBy("id", "isl")
-        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
-        .select("id", "s", "e")
-    )
+    return _merge_intervals(dups)
 
 
 def substring_dedup(
@@ -172,10 +177,21 @@ def substring_dedup(
     every duplicated >= min_words-word span removed except its first
     occurrence (module docstring has the full contract). Untouched
     documents keep their text byte-identically."""
-    spans_arr = (
-        dup_spans(df, text_col, id_col, min_words)
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
+    spans = dup_spans(df, text_col, id_col, min_words)
+    return _apply_spans(df, spans, text_col, id_col)
+
+
+def _apply_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut the (id, s, e) spans out of each document's words and emit the
+    (id_col, text, n_words, n_words_removed, n_spans) result frame — the
+    shared tail of the full and incremental paths."""
+    spans_arr = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans")
     )
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")).join(
         spans_arr, "id", "left"
@@ -208,3 +224,86 @@ def substring_dedup(
         F.col("n_words_removed").cast("long").alias("n_words_removed"),
         F.col("n_spans").cast("long").alias("n_spans"),
     )
+
+
+N_GRAM_BUCKETS = 64
+
+
+def span_gram_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> DataFrame:
+    """(gh, sb): the DISTINCT gram values of a corpus — the whole state an
+    O(batch) append needs. Under the monotone-id append contract a batch
+    instance can never precede a stored one, so the state never has to
+    carry (id, pos) firsts: membership alone decides. ``sb`` is the
+    pmod-64 directory bucket (`partitionBy("sb")` at write time), the same
+    layout the curation ledger uses so bucket-pruned lookups work when the
+    state is persisted."""
+    return (
+        gram_instances(df, text_col, id_col, min_words)
+        .select("gh")
+        .distinct()
+        .select("gh", F.pmod(F.xxhash64("gh"), F.lit(N_GRAM_BUCKETS)).alias("sb"))
+    )
+
+
+def incremental_substring_dedup(
+    batch: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> tuple[DataFrame, DataFrame]:
+    """O(batch) span dedup of an APPENDED batch against stored gram state:
+    returns (deduped_batch, new_state_rows).
+
+    Contract (mirrors kgtm.curation.incremental_curate): batch ids are
+    MONOTONE — strictly greater than every id the state was built from —
+    so a batch gram instance whose value exists in the state is a
+    duplicate unconditionally (the stored occurrence is earlier), and
+    intra-batch instances rank among themselves exactly as the full run
+    would. Under that contract `deduped_batch` equals
+    ``substring_dedup(old UNION batch)`` restricted to the batch ids, and
+    appending ``new_state_rows`` (the gram values the batch introduces)
+    reproduces ``span_gram_state(old UNION batch)`` — chained appends stay
+    exact (pytest-pinned, including a DuckDB full-run twin comparison).
+
+    Scale shape: nothing in the plan touches the old corpus — the state
+    table IS the old corpus's footprint, one row per distinct gram value.
+    One semi/anti join pair of the batch's grams against the state (both
+    sides keyed on gh; a persisted state arrives partitioned by sb for
+    pruned reads), the same intra-batch aggregate as the full run (batch-
+    sized), and the shared per-doc interval merge + cut tail.
+    """
+    L = int(min_words)
+    grams = gram_instances(batch, text_col, id_col, min_words)
+    per_gram = grams.groupBy("gh").agg(
+        F.min(F.struct("id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    intra_dups = (
+        grams.join(per_gram.filter(F.col("cnt") > 1), "gh")
+        .filter(
+            (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("id", "pos")
+    )
+    # every batch instance of a stored gram value is a duplicate — the
+    # stored occurrence precedes the whole batch under monotone ids
+    state_hits = grams.join(state.select("gh"), "gh", "semi").select("id", "pos")
+    dups = (
+        intra_dups.unionByName(state_hits)
+        .distinct()
+        .select("id", "pos", (F.col("pos") + L - 1).alias("e"))
+    )
+    deduped = _apply_spans(batch, _merge_intervals(dups), text_col, id_col)
+    new_state = (
+        grams.select("gh")
+        .distinct()
+        .join(state.select("gh"), "gh", "anti")
+        .select("gh", F.pmod(F.xxhash64("gh"), F.lit(N_GRAM_BUCKETS)).alias("sb"))
+    )
+    return deduped, new_state

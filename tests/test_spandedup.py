@@ -161,3 +161,100 @@ def test_plan_shuffle_shape(spark, documents):
 
     for spec in re.findall(r"windowspecdefinition\((\w+#\d+L?)", plan):
         assert spec.startswith("id#"), spec
+
+
+# ---------------------------------------------------------------------------
+# incremental (O(batch)) dedup against stored gram state
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_state_hit_cuts_batch_first_instance(spark):
+    """A batch doc matching a STORED gram loses it even as the batch's own
+    first instance — the stored occurrence is earlier by contract."""
+    from kgtm.spandedup import incremental_substring_dedup, span_gram_state
+
+    old = spark.createDataFrame([(1, SPAN)], "doc_id long, text string")
+    state = span_gram_state(old, min_words=L)
+    batch = spark.createDataFrame(
+        [(10, f"pre {SPAN} post"), (11, "totally fresh words here")],
+        "doc_id long, text string",
+    )
+    deduped, new_state = incremental_substring_dedup(batch, state, min_words=L)
+    out = {r.doc_id: r for r in deduped.collect()}
+    assert out[10].text == "pre post" and out[10].n_words_removed == 10
+    assert out[11].text == "totally fresh words here"
+    # new state rows = exactly the gram values the batch introduces
+    from kgtm.spandedup import span_gram_state as sgs
+
+    want_new = {
+        r.gh
+        for r in sgs(batch, min_words=L)
+        .join(state.select("gh"), "gh", "anti")
+        .collect()
+    }
+    assert {r.gh for r in new_state.collect()} == want_new
+
+
+def test_incremental_equals_full_run_on_corpus(spark, documents):
+    """90/10 monotone split of the real corpus: the incremental batch
+    result must equal the full run over old ∪ batch restricted to batch
+    ids — checked against Spark's own full run AND the DuckDB twin."""
+    from kgtm import oracles
+    from kgtm.spandedup import incremental_substring_dedup, span_gram_state
+
+    cut = documents.selectExpr("(9*(max(doc_id)+1)) div 10 AS c").collect()[0].c
+    old = documents.where(f"doc_id < {cut}")
+    batch = documents.where(f"doc_id >= {cut}")
+    assert batch.count() > 0
+    state = span_gram_state(old, min_words=20)
+    deduped, new_state = incremental_substring_dedup(batch, state, min_words=20)
+    got = sorted(map(tuple, deduped.collect()))
+
+    full = substring_dedup(documents, min_words=20).where(f"doc_id >= {cut}")
+    assert got == sorted(map(tuple, full.collect()))
+
+    con = duck_docs(parquet_docs=SF_DIR)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"SELECT * FROM ({oracles.q_substring_dedup(20)}) "
+                f"WHERE doc_id >= {cut}"
+            ).fetchall(),
+        )
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+    # appended state == state derived from the union
+    merged = sorted(
+        r.gh for r in state.select("gh").union(new_state.select("gh")).collect()
+    )
+    want_state = sorted(
+        r.gh for r in span_gram_state(documents, min_words=20).collect()
+    )
+    assert merged == want_state
+
+
+def test_incremental_chained_appends_stay_exact(spark, documents):
+    """Three monotone slices appended in sequence: every batch's output
+    equals the full run over everything-so-far restricted to that batch."""
+    from kgtm.spandedup import incremental_substring_dedup, span_gram_state
+
+    ids = sorted(r.doc_id for r in documents.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 2], ids[3 * len(ids) // 4]
+    s0 = documents.where(f"doc_id < {c1}")
+    b1 = documents.where(f"doc_id >= {c1} AND doc_id < {c2}")
+    b2 = documents.where(f"doc_id >= {c2}")
+    state = span_gram_state(s0, min_words=20)
+    d1, ns1 = incremental_substring_dedup(b1, state, min_words=20)
+    state1 = state.select("gh", "sb").union(ns1)
+    d2, _ = incremental_substring_dedup(b2, state1, min_words=20)
+
+    full = substring_dedup(documents, min_words=20)
+    assert sorted(map(tuple, d1.collect())) == sorted(
+        map(tuple, full.where(f"doc_id >= {c1} AND doc_id < {c2}").collect())
+    )
+    assert sorted(map(tuple, d2.collect())) == sorted(
+        map(tuple, full.where(f"doc_id >= {c2}").collect())
+    )
