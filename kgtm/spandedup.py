@@ -256,6 +256,8 @@ def incremental_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_words: int = DEFAULT_MIN_WORDS,
+    strategy: str = "auto",
+    broadcast_max_grams: int = 8_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """O(batch) span dedup of an APPENDED batch against stored gram state:
     returns (deduped_batch, new_state_rows).
@@ -272,12 +274,22 @@ def incremental_substring_dedup(
     exact (pytest-pinned, including a DuckDB full-run twin comparison).
 
     Scale shape: nothing in the plan touches the old corpus — the state
-    table IS the old corpus's footprint, one row per distinct gram value.
-    One semi/anti join pair of the batch's grams against the state (both
-    sides keyed on gh; a persisted state arrives partitioned by sb for
-    pruned reads), the same intra-batch aggregate as the full run (batch-
-    sized), and the shared per-doc interval merge + cut tail.
+    table IS the old corpus's footprint, one row per distinct gram value —
+    and with ``strategy='broadcast'`` (the auto pick while the batch's
+    distinct gram count fits ``broadcast_max_grams``) the state NEVER
+    SHUFFLES either: the batch's gram-value set broadcasts onto a map-side
+    semi-filtered scan of the state (the curation ledger's one-flat-scan
+    pattern; a persisted state partitioned by sb additionally prunes
+    buckets), the surviving intersection — bounded by the batch — flows
+    back as a broadcast, and the new-state anti join runs against that
+    same intersection, so the ONLY state cost per append is one columnar
+    scan. ``strategy='shuffle'`` falls back to plain gh-keyed joins for
+    batches too large to broadcast (same decision shape as
+    kgtm.dedup.contamination_pairs). Plus the batch-sized intra-batch
+    aggregate and the shared per-doc interval merge + cut tail.
     """
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"strategy must be auto|broadcast|shuffle, got {strategy!r}")
     L = int(min_words)
     grams = gram_instances(batch, text_col, id_col, min_words)
     per_gram = grams.groupBy("gh").agg(
@@ -291,19 +303,30 @@ def incremental_substring_dedup(
         )
         .select("id", "pos")
     )
+    batch_ghs = grams.select("gh").distinct()
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if batch_ghs.count() <= broadcast_max_grams
+            else "shuffle"
+        )
     # every batch instance of a stored gram value is a duplicate — the
     # stored occurrence precedes the whole batch under monotone ids
-    state_hits = grams.join(state.select("gh"), "gh", "semi").select("id", "pos")
+    if strategy == "broadcast":
+        # intersection via a map-side-filtered state scan; bounded by batch
+        hits = state.select("gh").join(F.broadcast(batch_ghs), "gh", "semi")
+        state_hits = grams.join(F.broadcast(hits), "gh", "semi").select("id", "pos")
+        new_ghs = batch_ghs.join(F.broadcast(hits), "gh", "anti")
+    else:
+        state_hits = grams.join(state.select("gh"), "gh", "semi").select("id", "pos")
+        new_ghs = batch_ghs.join(state.select("gh"), "gh", "anti")
     dups = (
         intra_dups.unionByName(state_hits)
         .distinct()
         .select("id", "pos", (F.col("pos") + L - 1).alias("e"))
     )
     deduped = _apply_spans(batch, _merge_intervals(dups), text_col, id_col)
-    new_state = (
-        grams.select("gh")
-        .distinct()
-        .join(state.select("gh"), "gh", "anti")
-        .select("gh", F.pmod(F.xxhash64("gh"), F.lit(N_GRAM_BUCKETS)).alias("sb"))
+    new_state = new_ghs.select(
+        "gh", F.pmod(F.xxhash64("gh"), F.lit(N_GRAM_BUCKETS)).alias("sb")
     )
     return deduped, new_state

@@ -258,3 +258,21 @@ def test_incremental_chained_appends_stay_exact(spark, documents):
     assert sorted(map(tuple, d2.collect())) == sorted(
         map(tuple, full.where(f"doc_id >= {c2}").collect())
     )
+
+
+def test_incremental_broadcast_shuffle_parity_and_validation(spark, documents):
+    """Both join strategies produce the identical result; bad strategy
+    rejected; the broadcast path's plan never shuffles the state side."""
+    from kgtm.spandedup import incremental_substring_dedup, span_gram_state
+
+    cut = documents.selectExpr("(9*(max(doc_id)+1)) div 10 AS c").collect()[0].c
+    old = documents.where(f"doc_id < {cut}")
+    batch = documents.where(f"doc_id >= {cut}")
+    state = span_gram_state(old, min_words=20)
+    db, _ = incremental_substring_dedup(batch, state, min_words=20,
+                                        strategy="broadcast")
+    ds, _ = incremental_substring_dedup(batch, state, min_words=20,
+                                        strategy="shuffle")
+    assert sorted(map(tuple, db.collect())) == sorted(map(tuple, ds.collect()))
+    with pytest.raises(ValueError):
+        incremental_substring_dedup(batch, state, strategy="bogus")
