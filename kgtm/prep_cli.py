@@ -85,6 +85,13 @@ def _parse_stages(raw: str) -> list[str]:
     return [s for s in STAGE_ORDER if s in stages]
 
 
+def _rejoin_text(out, deduped):
+    """Swap the text column for a dedup stage's rewrite, keeping every
+    other column; row semantics (lossy vs lossless) follow the deduped
+    frame — see the stage dispatch comment."""
+    return out.drop("text").join(deduped.select("doc_id", "text"), "doc_id")
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     stages = _parse_stages(args.stages)
@@ -135,26 +142,27 @@ def main(argv: list[str] | None = None) -> int:
     out = docs
     for stage in stages:
         with mc.stage(stage):
+            # both dedup stages rejoin the rewritten text onto the full-
+            # column frame; the inner join's row semantics are a property
+            # of the DEDUPED frame: paragraph_dedup DROPS docs left with
+            # zero kept paragraphs, substring_dedup keeps every row (docs
+            # cut to zero words carry text '' — n_words_removed is the
+            # drop signal), so the same join is lossy there and lossless
+            # here by design
             if stage == "paradedup":
                 from kgtm.paragraphs import paragraph_dedup
 
-                deduped = paragraph_dedup(
-                    out, sep=args.para_sep, min_chars=args.para_min_chars
-                )
-                # rejoin non-text columns; docs left with zero kept
-                # paragraphs drop here (inner join on the survivor set)
-                out = out.drop("text").join(
-                    deduped.select("doc_id", "text"), "doc_id"
+                out = _rejoin_text(
+                    out,
+                    paragraph_dedup(
+                        out, sep=args.para_sep, min_chars=args.para_min_chars
+                    ),
                 )
             elif stage == "spandedup":
                 from kgtm.spandedup import substring_dedup
 
-                deduped = substring_dedup(out, min_words=args.span_min_words)
-                # rejoin non-text columns; spandedup keeps every row (docs
-                # cut to zero words carry text '' — n_words_removed is the
-                # drop signal), so this join is lossless
-                out = out.drop("text").join(
-                    deduped.select("doc_id", "text"), "doc_id"
+                out = _rejoin_text(
+                    out, substring_dedup(out, min_words=args.span_min_words)
                 )
             elif stage == "split":
                 from kgtm.mixture import split_assign

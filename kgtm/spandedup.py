@@ -78,13 +78,12 @@ DEFAULT_MIN_WORDS = 20
 
 
 def _words_orig_case(text_col: str) -> "F.Column":
-    """Original-case words with the library's blank/NULL guard (the
-    lowercase variant of this exact expression is
-    kgtm.textstats.words_col_guarded)."""
-    t = F.col(text_col)
-    return F.when(
-        F.trim(F.coalesce(t, F.lit(""))) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(t), r"\s+"))
+    """Original-case words: the library's one tokenization guard
+    (kgtm.textstats.words_col_guarded) with lowering off — reconstruction
+    must keep word bytes while the gram KEY lowers separately."""
+    from kgtm.textstats import words_col_guarded
+
+    return words_col_guarded(F.col(text_col), lower=False)
 
 
 def gram_instances(
@@ -258,9 +257,12 @@ def incremental_substring_dedup(
     min_words: int = DEFAULT_MIN_WORDS,
     strategy: str = "auto",
     broadcast_max_grams: int = 8_000_000,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """O(batch) span dedup of an APPENDED batch against stored gram state:
-    returns (deduped_batch, new_state_rows).
+    returns (deduped_batch, new_state_rows). ``checkpoint=False`` skips the
+    internal lineage cuts (same knob as kgtm.dedup's flats) — for plan
+    inspection in tests; production callers leave it on.
 
     Contract (mirrors kgtm.curation.incremental_curate): batch ids are
     MONOTONE — strictly greater than every id the state was built from —
@@ -291,7 +293,14 @@ def incremental_substring_dedup(
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"strategy must be auto|broadcast|shuffle, got {strategy!r}")
     L = int(min_words)
+    # checkpoint the batch's gram lineage ONCE: it feeds the strategy
+    # count, the intra-batch aggregate, both state joins, and (through the
+    # two returned frames) two separate caller actions — without the cut,
+    # the tokenize+md5 scan re-executes for each (the contamination_pairs
+    # lesson, kgtm/dedup.py)
     grams = gram_instances(batch, text_col, id_col, min_words)
+    if checkpoint:
+        grams = grams.localCheckpoint(eager=False)
     per_gram = grams.groupBy("gh").agg(
         F.min(F.struct("id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("cnt"),
@@ -303,7 +312,11 @@ def incremental_substring_dedup(
         )
         .select("id", "pos")
     )
+    # checkpointed for the same reason: feeds the count, a broadcast, and
+    # the new-state anti join
     batch_ghs = grams.select("gh").distinct()
+    if checkpoint:
+        batch_ghs = batch_ghs.localCheckpoint(eager=False)
     if strategy == "auto":
         strategy = (
             "broadcast"
@@ -313,8 +326,12 @@ def incremental_substring_dedup(
     # every batch instance of a stored gram value is a duplicate — the
     # stored occurrence precedes the whole batch under monotone ids
     if strategy == "broadcast":
-        # intersection via a map-side-filtered state scan; bounded by batch
+        # intersection via a map-side-filtered state scan; bounded by batch.
+        # Checkpointed: used by BOTH the dup marking and the new-state anti
+        # join — without the cut each action re-scans the state table.
         hits = state.select("gh").join(F.broadcast(batch_ghs), "gh", "semi")
+        if checkpoint:
+            hits = hits.localCheckpoint(eager=False)
         state_hits = grams.join(F.broadcast(hits), "gh", "semi").select("id", "pos")
         new_ghs = batch_ghs.join(F.broadcast(hits), "gh", "anti")
     else:

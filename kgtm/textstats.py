@@ -24,19 +24,21 @@ LANG_MARKERS: dict[str, list[str]] = {
 PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
 
 
-def words_col(text: str | Column = "text") -> Column:
+def words_col(text: str | Column = "text", lower: bool = True) -> Column:
     t = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(F.lower(t)), r"\s+")
+    return F.split(F.trim(F.lower(t) if lower else t), r"\s+")
 
 
-def words_col_guarded(text: str | Column = "text") -> Column:
+def words_col_guarded(text: str | Column = "text", lower: bool = True) -> Column:
     """words_col with the blank/null guard: empty array instead of [''].
     The one tokenization contract shared by repetition/packing and the
-    DuckDB twins (kgtm.oracles._DUCK_WORDS_EXPR)."""
+    DuckDB twins (kgtm.oracles._DUCK_WORDS_EXPR). ``lower=False`` is the
+    original-case variant (spandedup's reconstruction words — same trim/
+    split/guard, case preserved)."""
     t = F.col(text) if isinstance(text, str) else text
     return F.when(
         F.coalesce(F.trim(t), F.lit("")) == "", F.array().cast("array<string>")
-    ).otherwise(words_col(t))
+    ).otherwise(words_col(t, lower=lower))
 
 
 def token_count_col(text: str | Column = "text") -> Column:

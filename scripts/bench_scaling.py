@@ -175,6 +175,16 @@ def main() -> None:
     if marker.exists():
         # reused input: the factor it was materialized at, not this run's env
         amplify = int(marker.read_text().strip())
+    else:
+        # pre-marker input (or a PREP that died between _SUCCESS and the
+        # marker write): the recorded factor is this run's env value and may
+        # not match the data — say so rather than mislabel silently
+        print(
+            f"warning: {scale_input} has _SUCCESS but no _AMPLIFY marker; "
+            f"recording amplify={amplify} from the environment, which may "
+            "not match the materialized data (delete the dir to regenerate)",
+            file=sys.stderr,
+        )
 
     # Multi-tenant box: interleave levels, keep per-level best — drift in
     # background load then hits both levels symmetrically.

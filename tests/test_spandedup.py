@@ -260,19 +260,64 @@ def test_incremental_chained_appends_stay_exact(spark, documents):
     )
 
 
-def test_incremental_broadcast_shuffle_parity_and_validation(spark, documents):
+def test_incremental_broadcast_shuffle_parity_and_validation(
+    spark, documents, tmp_path
+):
     """Both join strategies produce the identical result; bad strategy
-    rejected; the broadcast path's plan never shuffles the state side."""
+    rejected; and the broadcast path's plan really is broadcast-shaped —
+    strictly fewer shuffles than the shuffle path (dropping the broadcast
+    hints would equalize the counts and fail here), with the state lookups
+    as BroadcastHashJoins."""
     from kgtm.spandedup import incremental_substring_dedup, span_gram_state
 
     cut = documents.selectExpr("(9*(max(doc_id)+1)) div 10 AS c").collect()[0].c
     old = documents.where(f"doc_id < {cut}")
     batch = documents.where(f"doc_id >= {cut}")
-    state = span_gram_state(old, min_words=20)
-    db, _ = incremental_substring_dedup(batch, state, min_words=20,
-                                        strategy="broadcast")
+    # parquet-backed state: its scan has no lineage of its own, so every
+    # exchange in the plans below belongs to the operator under test
+    span_gram_state(old, min_words=20).write.parquet(str(tmp_path / "state"))
+    state = spark.read.parquet(str(tmp_path / "state"))
+    db, nb = incremental_substring_dedup(batch, state, min_words=20,
+                                         strategy="broadcast")
     ds, _ = incremental_substring_dedup(batch, state, min_words=20,
                                         strategy="shuffle")
     assert sorted(map(tuple, db.collect())) == sorted(map(tuple, ds.collect()))
     with pytest.raises(ValueError):
         incremental_substring_dedup(batch, state, strategy="bogus")
+
+    # plan shape with checkpoint=False (full lineage visible) and
+    # stats-based auto-broadcast OFF, so ONLY the operator's explicit
+    # broadcast hints can produce a BroadcastHashJoin — dropping the hints
+    # turns the state lookups into shuffle joins and the exchange-count
+    # comparison below fails even though tiny test tables would otherwise
+    # auto-broadcast
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def shape(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return (
+                plan.count("Exchange hashpartitioning"),
+                plan.count("BroadcastHashJoin"),
+            )
+
+        fb, fn = incremental_substring_dedup(
+            batch, state, min_words=20, strategy="broadcast", checkpoint=False
+        )
+        sb_, sn = incremental_substring_dedup(
+            batch, state, min_words=20, strategy="shuffle", checkpoint=False
+        )
+        (x_b, bhj_b), (x_s, _) = shape(fb), shape(sb_)
+        assert bhj_b >= 2, x_b  # state semi-filter + dup-marking broadcast
+        assert x_b < x_s, (x_b, x_s)  # the state side never shuffles
+        # new-state path: both its joins must be hint-broadcast (with
+        # auto-broadcast off only explicit hints can produce a BHJ); the
+        # raw exchange counts tie here because checkpoint=False recomputes
+        # batch_ghs inside hits, so the BHJ count is the guard
+        _, bhjn_b = shape(fn)
+        assert bhjn_b >= 2
+        _, bhjn_s = shape(sn)
+        assert bhjn_s == 0  # the fallback really is the shuffle shape
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
