@@ -222,3 +222,15 @@ def test_negative_samples_plan_broadcasts_pool(spark, events):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # the pool lookup never shuffles
+
+
+def test_negative_samples_partitioning_invariant(spark):
+    """The claimed reproducibility across partitionings, pinned: 1-partition
+    and 7-partition inputs emit the identical sample set."""
+    from kgtm.graph import negative_samples
+
+    t = _planted_triples(spark)
+    one = negative_samples(t.coalesce(1), k=3, pool_size=8).collect()
+    many = negative_samples(t.repartition(7), k=3, pool_size=8).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+    assert one  # non-vacuous
