@@ -68,16 +68,25 @@ def build_triples(
     # DISTINCT triple terms (|surfaces| ≈ dictionary size × variant forms —
     # tiny next to the fact table), so the ladder fan-out, broadcast probe,
     # and snapshot join never touch the 10^12-row side.
-    triples = extract_triples(transcripts)
+    # Project to the four columns the rest of the pipeline consumes BEFORE
+    # any materialization (guide §2.3): turn_idx/conf never appear in the
+    # output, and dropping them here lets Catalyst prune the transcript
+    # adapter's row_number Window (and its sort) out of the flagship plan
+    # entirely — parallelism is preserved by the adapter's own explicit
+    # repartition (kgtm.transcripts.events_to_transcripts), which is exactly
+    # the exchange extraction needs anyway.
+    triples = extract_triples(transcripts).select("conv_id", "subj", "pred", "obj")
     if config.persist_intermediate:
         from pyspark.storagelevel import StorageLevel
 
-        # Eager: the dim branch and the final join run in ONE job; a lazy
-        # persist would let both subtrees re-run extraction in parallel
-        # before the cache exists. Materializing here makes extraction a
-        # strictly run-once stage (the 100 TB contract: scan cost x1).
+        # The cache is populated by the FIRST action over `triples`, which is
+        # the dim branch's eager checkpoint below — build_triples runs its
+        # jobs strictly sequentially, so extraction still executes exactly
+        # once (the 100 TB contract: scan cost x1). The previous shape ran a
+        # dedicated `triples.count()` first, which paid one full extra cache
+        # scan per build for nothing (round-7 measurement: 2.3 s at
+        # amplify=30) — populate-on-first-use removes that pass.
         triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
-        triples.count()
 
     from kgtm.link import link_surfaces
     from kgtm.normalize import parse_iri_cols

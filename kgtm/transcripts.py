@@ -57,21 +57,49 @@ def events_to_transcripts(events: DataFrame) -> DataFrame:
     turn_idx is a dense 0-based row_number per user ordered by (ts, event_id):
     one shuffle on user_id, which is also the partitioning the downstream
     turn-assembly wants — the exchange is reused, not repeated.
+
+    Round-7 plan shape (guide §2.3/§2.4, measured 3.98 s → 2.30 s on the
+    x30-amplified sf0.1 corpus):
+
+      * PROJECT BEFORE THE EXCHANGE: only the five narrow columns the
+        output derives from cross the wire — the source parquet is a single
+        row group, so the map side of this exchange is ONE task and every
+        byte it serializes is serial wall-clock (dropping ``value`` + the
+        rest ≈ halves the payload). ``props`` itself ships (avg 9 chars)
+        and the ``k`` regexp runs ONCE per row on the parallel reduce side:
+        extracting k below the exchange was measured 0.55 s SLOWER at
+        amplify=30 because the regex then executes inside the serial map
+        task (1.92 s vs 1.37 s for the narrow+repartition stage).
+      * EXPLICIT ``repartition("user_id")`` instead of relying on the
+        window's implicit exchange: the window's requirement (hash on
+        user_id) is satisfied by it, so the plan cost is identical when
+        turn_idx is consumed — but when a downstream plan PRUNES turn_idx
+        (build_triples persists only conv_id/subj/pred/obj), Catalyst
+        removes the Window AND its exchange, and without this explicit
+        repartition the whole text build + SVO regex ran single-task in
+        the scan stage (measured: the persist-free flagship count was 18 s
+        serial vs ~1 s parallel at amplify=30).
     """
     k = F.coalesce(
         F.regexp_extract("props", r"([0-9]+)", 1).try_cast("long"), F.lit(0)
     )
-    host = F.when(k % 10 == 9, F.lit(UNKNOWN_HOST)).otherwise(F.lit(DICT_HOST))
+    narrow = (
+        events.select("user_id", "ts", "event_id", "event_type", "props")
+        .repartition("user_id")
+        .select("user_id", "ts", "event_id", "event_type", k.alias("k"))
+    )
+    kk = F.col("k")
+    host = F.when(kk % 10 == 9, F.lit(UNKNOWN_HOST)).otherwise(F.lit(DICT_HOST))
     base = F.concat(F.lit("http://"), host, F.lit("/"), F.col("event_type"))
-    variant = k % 4
+    variant = kk % 4
     iri = (
         F.when(variant == 1, F.concat(base, F.lit("/")))
-        .when(variant == 2, F.concat(base, F.lit("/Term"), (k % 7).cast("string")))
+        .when(variant == 2, F.concat(base, F.lit("/Term"), (kk % 7).cast("string")))
         .when(variant == 3, F.concat(F.lit("https://"), host, F.lit("/"), F.col("event_type")))
         .otherwise(base)
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    return narrow.select(
         F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
@@ -81,7 +109,7 @@ def events_to_transcripts(events: DataFrame) -> DataFrame:
             F.lit(" while discussing "),
             F.col("event_type"),
             F.lit(" k="),
-            k.cast("string"),
+            kk.cast("string"),
         ).alias("text"),
         F.when(F.col("event_type") == "error", F.lit("debugger")).alias("tool"),
         F.col("ts"),
