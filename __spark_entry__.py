@@ -424,13 +424,13 @@ def _q_effective_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _resolved_with_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7: carry `role` through the extraction explode instead of joining
+    # the linkage back to the transcript table — the join-back re-derived the
+    # whole scan+window transcript subtree a second time (guide §2.4)
     tr = _transcripts(spark, sf_dir)
-    m = extract_mentions(tr)
-    linked = link_mentions(m, ontology_index_df(spark))
-    resolved = resolve_links(linked, ontology_snapshots_df(spark), "latestArchived")
-    return resolved.join(
-        tr.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
-    )
+    m = extract_mentions(tr, carry=("role",))
+    linked = link_mentions(m, ontology_index_df(spark), carry=("role",))
+    return resolve_links(linked, ontology_snapshots_df(spark), "latestArchived")
 
 
 def _q_accessibility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,12 +680,12 @@ def _q_asof_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.resolve import resolve_links_per_row_pin
 
     tr = _transcripts(spark, sf_dir)
-    m = extract_mentions(tr)
-    linked = link_mentions(m, ontology_index_df(spark))
+    # round 7: carry `text` through extraction instead of a transcript
+    # join-back (the join re-ran the scan+window subtree — guide §2.4)
+    m = extract_mentions(tr, carry=("text",))
+    linked = link_mentions(m, ontology_index_df(spark), carry=("text",))
     k = F.regexp_extract("text", r"k=([0-9]+)", 1).try_cast("long") % 400
-    with_pin = linked.join(
-        tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
-    ).withColumn(
+    with_pin = linked.withColumn(
         "pin_ts",
         F.to_timestamp(F.lit("2024-01-01")) + F.make_dt_interval(k.cast("int")),
     ).drop("text")
@@ -703,13 +703,14 @@ def _q_request_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.resolve import archivo_api_url_col, latest_snapshots, version_stamp_col
 
     tr = _transcripts(spark, sf_dir)
-    m = extract_mentions(tr)
-    linked = link_mentions(m, ontology_index_df(spark))
+    # round 7: carry `text` instead of the transcript join-back (guide §2.4)
+    m = extract_mentions(tr, carry=("text",))
+    linked = link_mentions(m, ontology_index_df(spark), carry=("text",))
     k6 = (
         F.regexp_extract("text", r"k=([0-9]+)", 1).try_cast("long") % 6
     ).cast("int")
     with_hdr = (
-        linked.join(tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        linked
         .withColumn(
             "accept_header",
             F.element_at(
@@ -749,11 +750,12 @@ def _q_failover_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     status ∈ passthrough whitelist ∧ content-type ∈ requested mimetypes
     (proxy_logic.py:209-238), else latest-archived."""
     tr = _transcripts(spark, sf_dir)
-    m = extract_mentions(tr)
-    linked = link_mentions(m, ontology_index_df(spark))
+    # round 7: carry `text` instead of the transcript join-back (guide §2.4)
+    m = extract_mentions(tr, carry=("text",))
+    linked = link_mentions(m, ontology_index_df(spark), carry=("text",))
     k = F.regexp_extract("text", r"k=([0-9]+)", 1).try_cast("long")
     with_live = (
-        linked.join(tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        linked
         .withColumn(
             "accept_header",
             F.element_at(

@@ -49,21 +49,37 @@ def curate_documents(
     """
     # The threshold compares the ROUNDED score (6 decimals) so the decision
     # is reproducible from the published quality_stats numbers themselves.
-    scored = quality_features(docs.select(id_col, text_col)).select(
-        id_col, text_col, F.round("quality_score", 6).alias("quality_score")
+    #
+    # Round-7 shape (guide §8 "decide with small rows"): ONE pass over the
+    # text computes everything any decision needs — the rounded quality score
+    # and the exact-dup digest — into a NARROW (id, digest, score) frame that
+    # is lazily checkpointed. The previous formulation re-derived `scored`
+    # (split/regex-heavy quality expressions over full text) in every
+    # consuming subtree: 12 parquet scans / ~5 quality recomputes per run at
+    # sf0.1 (plans/r07/corpus_curation_before.txt). Text is re-read from the
+    # source only where text is genuinely needed (shingling the near-dup
+    # survivors), so the checkpoint stays ~50 bytes/doc at any corpus size.
+    meta = (
+        quality_features(docs.select(id_col, text_col))
+        .select(
+            id_col,
+            F.md5(F.col(text_col)).alias("_dg"),
+            F.round("quality_score", 6).alias("quality_score"),
+        )
+        .localCheckpoint(eager=False)
     )
-    hq = scored.filter(F.col("quality_score") >= min_quality)
+    hq = meta.filter(F.col("quality_score") >= min_quality)
 
     # stage 2: exact dedup among high-quality docs (digest groupBy; the
     # min-id keeper joins back broadcast — one digest shuffle total)
-    digests = hq.select(id_col, F.md5(F.col(text_col)).alias("_dg"))
-    keepers = digests.groupBy("_dg").agg(F.min(id_col).alias("_keep"))
-    exact_kept = digests.join(keepers, "_dg").select(
+    keepers = hq.groupBy("_dg").agg(F.min(id_col).alias("_keep"))
+    exact_kept = hq.join(keepers, "_dg").select(
         id_col, (F.col(id_col) == F.col("_keep")).alias("_exact_keep")
     )
 
-    # stage 3: near-dup clustering among exact survivors
-    hq2 = hq.join(
+    # stage 3: near-dup clustering among exact survivors (the only consumers
+    # of text besides the scoring pass above)
+    hq2 = docs.select(id_col, text_col).join(
         exact_kept.filter("_exact_keep").select(id_col), id_col, "left_semi"
     )
     pairs = ngram_jaccard_pairs(
@@ -72,7 +88,7 @@ def curate_documents(
     clusters = dedup_clusters(pairs, hq2.select(id_col), id_col=id_col)
 
     ledger = (
-        scored.select(id_col, "quality_score")
+        meta.select(id_col, "quality_score")
         .join(exact_kept, id_col, "left")
         .join(
             clusters.select(F.col("id").alias(id_col), "is_survivor"),

@@ -82,7 +82,9 @@ def mention_id_col() -> Column:
     )
 
 
-def extract_mentions(transcripts: DataFrame) -> DataFrame:
+def extract_mentions(
+    transcripts: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """One row per detected IRI mention with parsed (scheme, host, path, frag).
 
     mention_id is deterministic (no monotonically_increasing_id — that value
@@ -91,10 +93,21 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     bits, not xxhash64: at the advertised 10^12-mention scale a 64-bit id has
     ~10^4 expected birthday collisions, which would silently merge distinct
     mentions in downstream groupBy(mention_id).
+
+    ``carry`` names extra transcript columns to pass through (appended after
+    the parsed IRI columns). Round 7: queries that need a per-turn column on
+    the mention rows (text/role for the lifecycle/failover/taxonomy paths)
+    previously joined the linkage back to the transcript table on
+    (conv_id, turn_idx) — since the transcript adapter derives from a window
+    over the source events, that join re-ran the full scan+exchange+window a
+    SECOND time per query. Carrying the column through the explode costs a
+    few extra bytes per mention row and removes the whole second subtree
+    (guide §2.4: remove shuffles outright).
     """
     exploded = transcripts.select(
         "conv_id",
         "turn_idx",
+        *carry,
         F.posexplode(iri_mentions_col("text")).alias("pos", "surface"),
     )
     return exploded.select(
@@ -103,6 +116,7 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
         mention_id_col().alias("mention_id"),
         "surface",
         *parse_iri_cols("surface"),
+        *carry,
     )
 
 

@@ -11,14 +11,15 @@ tests include cases where multiple rungs match different dictionary entries.
 Scale notes:
   * The dictionary side is broadcast (1,816 rows in the reference; ≤ a few MB
     even at 10^6 ontologies) — the mention side never shuffles for the join.
-  * The min-rung pick uses groupBy(mention_id).agg(min_by(...)) — with the
-    broadcast join there is exactly ONE shuffle in this stage, and map-side
-    partial aggregation compresses the ≤6 candidate rows per mention before
-    it. A Window(row_number) formulation would shuffle the same data but
-    cannot partial-aggregate; min_by is strictly better here.
+  * Round 7: the min-rung pick is computed PER ROW by probing the rung-ordered
+    candidate array against a broadcast host→(path→iri) map and taking the
+    first non-null hit (broadcast_ladder_link) — zero exchanges and zero
+    aggregates on the mention side. The earlier explode→join→groupBy(min_by)
+    formulation shuffled the 6x candidate fan-out once per query; the probe
+    form never materializes candidates as rows at all.
   * Hot dictionary hosts (semanticscience.org 265/1,816 entries — BASELINE.md
-    skew row) are a *broadcast* side concern only; no join-key skew exists on
-    the probe side because the join key includes the full path.
+    skew row) are a *broadcast* side concern only: they widen one map row,
+    never a join partition.
 """
 
 from __future__ import annotations
@@ -29,85 +30,34 @@ from pyspark.sql import functions as F
 from kgtm.normalize import candidate_paths_col
 
 
-def link_mentions(mentions: DataFrame, index: DataFrame) -> DataFrame:
+def link_mentions(
+    mentions: DataFrame, index: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """mentions(host, path, ...) × index(host, path, ontology_iri) → links.
 
     Returns one row per mention: is_linked, ontology_iri, canonical_path,
-    rung (the winning ladder rung; NULL when unlinked).
+    rung (the winning ladder rung; NULL when unlinked). ``carry`` names extra
+    mention columns to pass through unchanged (between ``path`` and
+    ``is_linked`` in the output) — callers that previously joined the linkage
+    back to the transcript table just to recover a per-turn column (e.g. the
+    failover queries re-deriving ``text``) carry it instead, saving a second
+    full scan+window of the source (guide §2.4).
+
+    ROUND-7 SHAPE (guide §2.4 "remove shuffles outright"): this is now a thin
+    wrapper over :func:`broadcast_ladder_link` — ONE broadcast hash join on
+    host + pure probe expressions, ZERO exchanges and ZERO aggregates on the
+    mention side. The previous formulation (explode 6 rung candidates →
+    broadcast join → groupBy(mention_id).min_by) paid one full shuffle of the
+    6x-exploded candidate rows plus two SortAggregates per query; min-rung
+    first-hit-wins is instead computed per row by probing the rung-ordered
+    candidate array against the broadcast host→(path→iri) map and taking the
+    first non-null hit — semantically identical (same pure spec
+    kgtm.normalize.resolve_membership; oracle-gate + fuzz-parity checked),
+    and the removal of the aggregation barrier lets Catalyst prune the
+    upstream turn-index Window whenever a consumer does not use turn_idx.
     """
-    cands = mentions.select(
-        "mention_id",
-        "conv_id",
-        "turn_idx",
-        "surface",
-        "host",
-        "path",
-        F.explode(candidate_paths_col("path")).alias("cand"),
-    ).select(
-        "mention_id",
-        "conv_id",
-        "turn_idx",
-        "surface",
-        "host",
-        "path",
-        F.col("cand.rung").alias("rung"),
-        F.col("cand.cand_path").alias("cand_path"),
-    )
-
-    dict_side = F.broadcast(
-        index.select(
-            F.col("host").alias("d_host"),
-            F.col("path").alias("d_path"),
-            "ontology_iri",
-        )
-    )
-
-    # LEFT probe + ONE groupBy: unlinked mentions survive with a null best,
-    # so no join-back to the mention table is needed — the whole stage is a
-    # broadcast probe plus a single mention_id shuffle (min_by ignores rows
-    # whose ordering expression is null, i.e. the non-hit candidate rows).
-    # Path-less requests match on host ALONE (proxy_logic.py:100-101): their
-    # single empty-path candidate joins the broadcast host set (no specific
-    # ontology / canonical path — the reference only answers the membership
-    # boolean there).
-    host_only = (
-        index.select(F.col("host").alias("d_host"))
-        .distinct()
-        .withColumn("d_path", F.lit(None).cast("string"))
-        .withColumn("ontology_iri", F.lit(None).cast("string"))
-    )
-    dict_with_hostonly = F.broadcast(dict_side.unionByName(host_only))
-    # eqNullSafe: a NULL candidate (path-less request) matches exactly the
-    # NULL-path host-only rows; ladder-produced "" candidates match nothing
-    # (dictionary paths always start with '/').
-    probed = cands.join(
-        dict_with_hostonly,
-        (cands["host"] == dict_with_hostonly["d_host"])
-        & cands["cand_path"].eqNullSafe(dict_with_hostonly["d_path"]),
-        "left",
-    )
-    hit_rung = F.when(F.col("d_host").isNotNull(), F.col("rung"))
-    return probed.groupBy("mention_id").agg(
-        F.first("conv_id").alias("conv_id"),
-        F.first("turn_idx").alias("turn_idx"),
-        F.first("surface").alias("surface"),
-        F.first("host").alias("host"),
-        F.first("path").alias("path"),
-        F.min_by(
-            F.struct("ontology_iri", "cand_path", "rung"), hit_rung
-        ).alias("best"),
-    ).select(
-        "mention_id",
-        "conv_id",
-        "turn_idx",
-        "surface",
-        "host",
-        "path",
-        F.col("best").isNotNull().alias("is_linked"),
-        F.col("best.ontology_iri").alias("ontology_iri"),
-        F.col("best.cand_path").alias("canonical_path"),
-        F.col("best.rung").alias("rung"),
-    )
+    cols = ["mention_id", "conv_id", "turn_idx", "surface", "host", "path", *carry]
+    return broadcast_ladder_link(mentions.select(*cols), index)
 
 
 def ladder_link_expr(index_rows: list[tuple[str, str, str]], host_col: str = "host", path_col: str = "path"):
@@ -199,27 +149,39 @@ def broadcast_ladder_link(
     d_host non-null after the left join), rung 0, no iri/canonical path.
 
     Adds (is_linked, ontology_iri, canonical_path, rung) to df's columns.
+
+    Round-7 staging notes (measured at sf0.1):
+
+      * The probe is the SCALAR cascade :func:`kgtm.normalize.ladder_probe_expr`
+        — six GetMapValue lookups in rung order inside whole-stage codegen.
+        The earlier higher-order form (transform + filter over the candidate
+        array) is CodegenFallback, i.e. interpreted per row, and measured
+        ~0.8 s/query slower on the 100k-mention corpus.
+      * The probe feeds FOUR output columns; referencing it directly would
+        inline the whole tree into each consumer. The explode(array(probe))
+        Generate below is the same staging barrier flat_shingles uses: the
+        probe runs exactly ONCE per row inside Generate, and the four
+        consumers read its struct fields.
     """
+    from kgtm.normalize import ladder_probe_expr
+
     dict_side = F.broadcast(host_path_map(index))
     joined = df.join(dict_side, F.col(host_col) == F.col("d_host"), "left")
-    pm = F.col("path_map")
-    probed = F.transform(
-        candidate_paths_col(path_col),
-        lambda c: F.struct(
-            c["rung"].alias("rung"),
-            c["cand_path"].alias("cand_path"),
-            pm[c["cand_path"]].alias("ontology_iri"),
-        ),
+    first = ladder_probe_expr(F.col("path_map"), path_col)
+    staged = joined.select(
+        *df.columns,
+        F.col("d_host"),
+        F.explode(F.array(first)).alias("_hit"),
     )
-    first = F.get(F.filter(probed, lambda x: x["ontology_iri"].isNotNull()), 0)
+    hit = F.col("_hit")
     p = F.col(path_col)
     pathless_hit = (p.isNull() | (p == "")) & F.col("d_host").isNotNull()
-    return joined.select(
+    return staged.select(
         *df.columns,
-        (first.isNotNull() | pathless_hit).alias("is_linked"),
-        first["ontology_iri"].alias("ontology_iri"),
-        first["cand_path"].alias("canonical_path"),
-        F.when(first.isNotNull(), first["rung"])
+        (hit.isNotNull() | pathless_hit).alias("is_linked"),
+        hit["ontology_iri"].alias("ontology_iri"),
+        hit["cand_path"].alias("canonical_path"),
+        F.when(hit.isNotNull(), hit["rung"])
         .when(pathless_hit, F.lit(0))
         .alias("rung"),
     )
@@ -233,47 +195,13 @@ def link_surfaces(surfaces: DataFrame, index: DataFrame) -> DataFrame:
     the caller has already reduced to distinct surfaces (e.g. triple terms):
     the ladder fan-out and broadcast probe run on |distinct surfaces|, not
     |mentions|.
+
+    ROUND-7 SHAPE: map-probe wrapper over :func:`broadcast_ladder_link`,
+    like link_mentions — the previous explode → inner join → groupBy(surface)
+    → left join-back needed one exchange and one extra join on the surface
+    dim subtree of every flagship build; the probe form needs neither.
     """
-    cands = surfaces.select(
-        "surface", "host", F.explode(candidate_paths_col("path")).alias("cand")
-    ).select(
-        "surface",
-        "host",
-        F.col("cand.rung").alias("rung"),
-        F.col("cand.cand_path").alias("cand_path"),
-    )
-    dict_side = index.select(
-        F.col("host").alias("d_host"),
-        F.col("path").alias("d_path"),
-        "ontology_iri",
-    )
-    host_only = (
-        index.select(F.col("host").alias("d_host"))
-        .distinct()
-        .withColumn("d_path", F.lit(None).cast("string"))
-        .withColumn("ontology_iri", F.lit(None).cast("string"))
-    )
-    dict_full = F.broadcast(dict_side.unionByName(host_only))
-    hits = cands.join(
-        dict_full,
-        (cands["host"] == dict_full["d_host"])
-        & cands["cand_path"].eqNullSafe(dict_full["d_path"]),
-        "inner",
-    )
-    best = hits.groupBy("surface").agg(
-        F.min_by(F.struct("ontology_iri", "cand_path", "rung"), F.col("rung")).alias(
-            "best"
-        )
-    )
-    return surfaces.join(best, "surface", "left").select(
-        "surface",
-        "host",
-        "path",
-        F.col("best").isNotNull().alias("is_linked"),
-        F.col("best.ontology_iri").alias("ontology_iri"),
-        F.col("best.cand_path").alias("canonical_path"),
-        F.col("best.rung").alias("rung"),
-    )
+    return broadcast_ladder_link(surfaces.select("surface", "host", "path"), index)
 
 
 def incremental_relink(

@@ -129,6 +129,52 @@ def candidate_paths_col(path: str | Column = "path") -> Column:
     ).otherwise(full)
 
 
+def ladder_probe_expr(
+    path_map: Column, path_col: str | Column = "path"
+) -> Column:
+    """First-hit-wins ladder probe against a ``map<path, ontology_iri>``
+    column: struct<rung:int, cand_path:string, ontology_iri:string> of the
+    LOWEST-rung dictionary hit, NULL when no rung hits or the path is
+    empty/NULL (host-only matching stays the caller's business, exactly like
+    candidate_paths_col's [(0, NULL)] sentinel — without the guard an empty
+    path would spuriously probe rungs 3/5's bare "/" candidate).
+
+    Scalar twin of ``candidate_paths_col`` + first-non-null probe: the
+    higher-order form (transform + filter over the candidate array) is
+    CodegenFallback — interpreted, one closure call per rung per row — and
+    measured ~0.8 s/query slower at sf0.1 than this cascade of six
+    GetMapValue lookups, which stays inside whole-stage codegen end to end
+    (round 7; the rung definitions MUST stay in lockstep with
+    ladder_candidates above, pinned by tests/test_normalize.py).
+    """
+    p = F.col(path_col) if isinstance(path_col, str) else path_col
+    stripped = F.when(p.endswith("/"), F.regexp_replace(p, "/+$", "")).otherwise(p)
+    parts = F.split(stripped, "/")
+    n = F.size(parts)
+    parent = F.array_join(F.slice(parts, 1, F.greatest(n - F.lit(1), F.lit(0))), "/")
+    gparent = F.array_join(F.slice(parts, 1, F.greatest(n - F.lit(2), F.lit(0))), "/")
+    cands = [
+        p,
+        stripped,
+        parent,
+        F.concat(parent, F.lit("/")),
+        gparent,
+        F.concat(gparent, F.lit("/")),
+    ]
+
+    def hit(i: int, cand: Column) -> Column:
+        return F.struct(
+            F.lit(i).alias("rung"),
+            cand.alias("cand_path"),
+            path_map[cand].alias("ontology_iri"),
+        )
+
+    cascade = F.when(path_map[cands[0]].isNotNull(), hit(0, cands[0]))
+    for i in range(1, 6):
+        cascade = cascade.when(path_map[cands[i]].isNotNull(), hit(i, cands[i]))
+    return F.when(p.isNull() | (p == ""), F.lit(None)).otherwise(cascade)
+
+
 def parse_iri_cols(iri: str | Column = "surface") -> list[Column]:
     """scheme/host/path/frag columns from a surface-IRI column.
 

@@ -50,6 +50,9 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, os_ = se.queries(), se.oracle_sql()
+    only = set(sys.argv[2:])  # optional: verify just these queries
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:
