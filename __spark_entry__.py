@@ -120,12 +120,33 @@ def _q_accept_negotiation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(
+    spark: SparkSession, sf_dir: str, fan_out: bool = False
+) -> DataFrame:
+    # fan_out=True: these driver fixtures are ONE parquet row group, so the
+    # scan-stage work of expression-heavy operators (quality regexes,
+    # winnowing, signature hashing) runs serially on one core without it.
+    # OPT-IN per query: the repartition costs ~0.3 s of extra stage/task
+    # scheduling at this scale, so only operators whose measured serial
+    # compute exceeds that use it (kgtm.session.fan_out_small_scan is a
+    # no-op when the scan is already parallel).
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if fan_out:
+        from kgtm.session import fan_out_small_scan
+
+        df = fan_out_small_scan(df)
+    return df
 
 
-def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def _embs(
+    spark: SparkSession, sf_dir: str, fan_out: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if fan_out:
+        from kgtm.session import fan_out_small_scan
+
+        df = fan_out_small_scan(df)
+    return df
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +190,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant below exercises non-divisor chunking."""
     from kgtm.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).withColumn(
+    return simhash_pairs(_docs(spark, sf_dir, fan_out=True), max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
 
@@ -185,7 +206,7 @@ def _q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     intentionally dense (the docstring's anti-pattern)."""
     from kgtm.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=16).withColumn(
+    return simhash_pairs(_docs(spark, sf_dir, fan_out=True), max_hamming=16).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
 
@@ -262,7 +283,7 @@ def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.textstats import fingerprint_col, lang_id_col, quality_features
 
-    qf = quality_features(_docs(spark, sf_dir))
+    qf = quality_features(_docs(spark, sf_dir, fan_out=True))
     return qf.select(
         "doc_id",
         "n_chars_m",
@@ -278,7 +299,7 @@ def _q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.textstats import bpe_ish_token_count_col, token_count_col
 
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, fan_out=True).select(
         "doc_id",
         token_count_col("text").alias("n_ws_tokens"),
         bpe_ish_token_count_col("text").alias("n_bpe_tokens"),
@@ -303,7 +324,7 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.textstats import winnow_fingerprint_udf
 
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, fan_out=True).select(
         "doc_id", winnow_fingerprint_udf(F.col("text")).alias("winnow_fp")
     )
 
@@ -311,7 +332,7 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.similarity import brute_topk
 
-    embs = _embs(spark, sf_dir)
+    embs = _embs(spark, sf_dir, fan_out=True)
     return brute_topk(embs, embs.filter(F.col("vec_id") < 5), k=10).withColumn(
         "rank", F.col("rank").cast("long")
     )
@@ -320,7 +341,7 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.similarity import ivf_topk
 
-    embs = _embs(spark, sf_dir)
+    embs = _embs(spark, sf_dir, fan_out=True)
     return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=6)
 
 
@@ -332,7 +353,7 @@ def _q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness."""
     from kgtm.similarity import ivf_topk
 
-    embs = _embs(spark, sf_dir)
+    embs = _embs(spark, sf_dir, fan_out=True)
     return ivf_topk(
         embs, embs.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=16
     ).withColumn("rank", F.col("rank").cast("long"))
@@ -341,7 +362,7 @@ def _q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.similarity import lsh_topk
 
-    embs = _embs(spark, sf_dir)
+    embs = _embs(spark, sf_dir, fan_out=True)
     return lsh_topk(embs, embs.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -354,7 +375,7 @@ def _q_ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry (ann_lsh_topk) then only risks recall, not correctness."""
     from kgtm.similarity import lsh_topk
 
-    embs = _embs(spark, sf_dir)
+    embs = _embs(spark, sf_dir, fan_out=True)
     return lsh_topk(
         embs, embs.filter(F.col("vec_id") < 5), k=10, n_tables=2, planes_per_table=0
     ).withColumn("rank", F.col("rank").cast("long"))
@@ -369,14 +390,14 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.multimodal import extract_features, synth_media_df
 
-    feats = extract_features(synth_media_df(spark, _docs(spark, sf_dir)))
+    feats = extract_features(synth_media_df(spark, _docs(spark, sf_dir, fan_out=True)))
     return feats.select("asset_id", "media_type", "n_bytes", "content_digest")
 
 
 def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgtm.multimodal import sample_frames, synth_media_df
 
-    return sample_frames(synth_media_df(spark, _docs(spark, sf_dir)), every_ms=1000)
+    return sample_frames(synth_media_df(spark, _docs(spark, sf_dir, fan_out=True)), every_ms=1000)
 
 
 def _q_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:

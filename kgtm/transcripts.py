@@ -196,6 +196,11 @@ def ontology_snapshot_rows() -> list[tuple]:
 
 
 def ontology_index_df(spark: SparkSession) -> DataFrame:
+    # NOTE(round 7): do NOT coalesce(1) these literal frames — a no-shuffle
+    # coalesce makes ONE task pull all 32 Python-parallelized parent
+    # partitions sequentially (~3.3 s of serial Python-runner round-trips,
+    # measured), turning every downstream dim broadcast into the slowest
+    # stage of the query. The 32-task aggregate stages they feed cost ~40 ms.
     return spark.createDataFrame(ontology_index_rows(), ONTOLOGY_INDEX_SCHEMA)
 
 
