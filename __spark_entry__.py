@@ -721,7 +721,11 @@ def _q_request_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     negotiation → ladder link → latest-version resolution → Archivo API URL
     + status taxonomy (200/404/500/passthrough)."""
     from kgtm.negotiate import format_from_accept_col
-    from kgtm.resolve import archivo_api_url_col, latest_snapshots, version_stamp_col
+    from kgtm.resolve import (
+        archivo_api_url_col,
+        attach_reduced_snapshots,
+        version_stamp_col,
+    )
 
     tr = _transcripts(spark, sf_dir)
     # round 7: carry `text` instead of the transcript join-back (guide §2.4)
@@ -740,8 +744,9 @@ def _q_request_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("format", format_from_accept_col("accept_header"))
     )
-    dim = F.broadcast(latest_snapshots(ontology_snapshots_df(spark)))
-    out = with_hdr.join(dim, "ontology_iri", "left")
+    # round 7: literal-map snapshot attach (zero joins for the small local
+    # snapshot table; broadcast join otherwise — kgtm.resolve)
+    out = attach_reduced_snapshots(with_hdr, ontology_snapshots_df(spark))
     status = (
         F.when(~F.col("is_linked"), F.lit("passthrough"))
         .when(F.col("format").isNull(), F.lit("500"))

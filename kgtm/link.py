@@ -127,6 +127,52 @@ def host_path_map(index: DataFrame) -> DataFrame:
     )
 
 
+#: Above this many dictionary entries the literal-probe fast path bows out:
+#: a map literal that size bloats the plan (ladder_link_expr's caveat) and
+#: the broadcast join is the honest shape. Archivo itself is 1,816 entries.
+LITERAL_DICT_MAX = 4096
+
+
+def _literal_host_map(index: DataFrame):
+    """map<host, map<path, iri>> literal for a driver-local small dictionary;
+    None when the index is not a plan literal (session.local_literal_rows) or
+    carries NULL keys (create_map cannot hold them — the broadcast path's
+    map_from_entries cannot either, so those dictionaries are invalid both
+    ways, but fall back rather than change the failure mode here)."""
+    from kgtm.session import local_literal_rows
+
+    rows = local_literal_rows(
+        index, ["host", "path", "ontology_iri"], LITERAL_DICT_MAX
+    )
+    if rows is None:
+        return None
+    per_host: dict[str, dict[str, str]] = {}
+    for r in rows:
+        if r.host is None or r.path is None or r.ontology_iri is None:
+            return None
+        pm = per_host.setdefault(r.host, {})
+        # duplicate (host, path) rows resolve to min(ontology_iri) — the
+        # same deterministic pick as host_path_map's first groupBy
+        if r.path not in pm or r.ontology_iri < pm[r.path]:
+            pm[r.path] = r.ontology_iri
+    return F.create_map(
+        *[
+            x
+            for h in sorted(per_host)
+            for x in (
+                F.lit(h),
+                F.create_map(
+                    *[
+                        y
+                        for p in sorted(per_host[h])
+                        for y in (F.lit(p), F.lit(per_host[h][p]))
+                    ]
+                ),
+            )
+        ]
+    )
+
+
 def broadcast_ladder_link(
     df: DataFrame,
     index: DataFrame,
@@ -165,8 +211,28 @@ def broadcast_ladder_link(
     """
     from kgtm.normalize import ladder_probe_expr
 
-    dict_side = F.broadcast(host_path_map(index))
-    joined = df.join(dict_side, F.col(host_col) == F.col("d_host"), "left")
+    # Literal fast path (round 7, guide §2.4): a small driver-local
+    # dictionary folds into the plan as a map LITERAL — the reference's own
+    # shape (its dictionary is a resident in-memory set,
+    # download_archivo_urls.py:13) — so the query runs ZERO joins, ZERO
+    # broadcast builds and ZERO dictionary-side stages; the probe is the
+    # same scalar cascade either way. Non-local or large dictionaries keep
+    # the broadcast-join plan below (the 100 TB shape) — the switch derives
+    # from the actual plan (LocalRelation + size cap), not a sandbox tune.
+    hm = _literal_host_map(index)
+    if hm is not None:
+        joined = df.select(
+            "*",
+            F.when(F.map_contains_key(hm, F.col(host_col)), F.col(host_col)).alias(
+                "d_host"
+            ),
+            # GetMapValue ([]) like ladder_probe_expr, NOT element_at: the
+            # bracket form yields NULL for missing keys under ANSI
+            hm[F.col(host_col)].alias("path_map"),
+        )
+    else:
+        dict_side = F.broadcast(host_path_map(index))
+        joined = df.join(dict_side, F.col(host_col) == F.col("d_host"), "left")
     first = ladder_probe_expr(F.col("path_map"), path_col)
     staged = joined.select(
         *df.columns,

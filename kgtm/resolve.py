@@ -85,6 +85,95 @@ def asof_snapshots(snapshots: DataFrame, pin_ts: dt.datetime) -> DataFrame:
     return latest_snapshots(snapshots.filter(F.col("version_ts") <= F.lit(pin_ts)))
 
 
+#: Size cap for the literal-map fast path below — mirrors
+#: kgtm.link.LITERAL_DICT_MAX (a map literal past this bloats the plan; the
+#: broadcast join is the honest shape for big snapshot tables).
+LITERAL_SNAPSHOTS_MAX = 4096
+
+
+def _literal_latest_map(snapshots: DataFrame, pin_ts: dt.datetime | None):
+    """map<ontology_iri, struct(version_ts, snapshot_iri, file_url)> literal
+    of the per-ontology max-version snapshot (<= pin when given), for a
+    driver-local small snapshot table; None when the table is not a plan
+    literal (session.local_literal_rows) — then the caller keeps the
+    broadcast-join dim, the 100 TB shape.
+
+    The reduction mirrors latest_snapshots/asof_snapshots: max version_ts
+    per ontology with the row's (snapshot_iri, file_url) attached. Spark's
+    max_by is nondeterministic across equal version_ts; here ties break on
+    (snapshot_iri, file_url) — a deterministic pick inside the same
+    contract.
+    """
+    from kgtm.session import local_literal_rows
+
+    rows = local_literal_rows(
+        snapshots,
+        ["ontology_iri", "version_ts", "snapshot_iri", "file_url"],
+        LITERAL_SNAPSHOTS_MAX,
+    )
+    if rows is None:
+        return None
+    best: dict[str, tuple] = {}
+    for r in rows:
+        if r.ontology_iri is None or r.version_ts is None:
+            return None
+        if pin_ts is not None and r.version_ts > pin_ts:
+            continue
+        key = (r.version_ts, r.snapshot_iri or "", r.file_url or "")
+        if r.ontology_iri not in best or key > best[r.ontology_iri][0]:
+            best[r.ontology_iri] = (key, r)
+    if not best:
+        return None  # empty map literal has no useful type; use the join
+    return F.create_map(
+        *[
+            x
+            for iri in sorted(best)
+            for x in (
+                F.lit(iri),
+                F.struct(
+                    F.lit(best[iri][1].version_ts).alias("version_ts"),
+                    F.lit(best[iri][1].snapshot_iri).alias("snapshot_iri"),
+                    F.lit(best[iri][1].file_url).alias("file_url"),
+                ),
+            )
+        ]
+    )
+
+
+def attach_reduced_snapshots(
+    linked: DataFrame, snapshots: DataFrame, pin_ts: dt.datetime | None = None
+) -> DataFrame:
+    """linked + (version_ts, snapshot_iri, file_url) of each row's
+    ontology's max-version snapshot (<= pin when given) — the shared dim
+    attach of resolve_links and the lifecycle queries.
+
+    Literal fast path (round 7, guide §2.4): when the snapshot table is a
+    small driver-local literal, the per-ontology reduction folds into the
+    plan as a map literal and the attach is three GetMapValue fields — zero
+    joins, zero broadcast builds, zero dim-side aggregation stages. Other
+    snapshot tables keep the reduce-then-broadcast-join plan.
+    """
+    hm = _literal_latest_map(snapshots, pin_ts)
+    if hm is not None:
+        hit = hm[F.col("ontology_iri")]
+        return linked.select(
+            "*",
+            hit["version_ts"].alias("version_ts"),
+            hit["snapshot_iri"].alias("snapshot_iri"),
+            hit["file_url"].alias("file_url"),
+        )
+    dim = (
+        latest_snapshots(snapshots)
+        if pin_ts is None
+        else asof_snapshots(snapshots, pin_ts)
+    )
+    return linked.join(
+        F.broadcast(dim.select("ontology_iri", "version_ts", "snapshot_iri", "file_url")),
+        "ontology_iri",
+        "left",
+    )
+
+
 def dependency_closure(
     snapshots: DataFrame,
     roots: DataFrame,
@@ -249,13 +338,11 @@ def resolve_links(
     if mode == "timestampArchived":
         if pin_ts is None:
             raise ValueError("timestampArchived requires pin_ts")
-        dim = asof_snapshots(snapshots, pin_ts)
         src_tag = "archivo-timestamp"
+        out = attach_reduced_snapshots(linked, snapshots, pin_ts)
     else:  # latestArchived and the archived leg of failover
-        dim = latest_snapshots(snapshots)
         src_tag = "archivo-latest"
-
-    out = linked.join(F.broadcast(dim), "ontology_iri", "left")
+        out = attach_reduced_snapshots(linked, snapshots)
     source = (
         F.when(~F.col("is_linked"), F.lit("unlinked"))
         .when(F.col("snapshot_iri").isNull(), F.lit("not-found"))

@@ -64,6 +64,32 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_literal_rows(df, cols: list[str], max_rows: int):
+    """The rows of ``df`` when its optimized plan is a driver-local literal
+    (LocalRelation) of at most ``max_rows`` rows; None otherwise.
+
+    This is the size/locality guard of the literal fast paths (kgtm.link /
+    kgtm.resolve): a dictionary that is ALREADY a plan literal can be folded
+    into consumer plans as a map literal — zero joins, zero broadcast
+    builds, zero dim-side stages. Anything that is not provably local and
+    small (a parquet-backed dictionary, an RDD-parallelized frame, a big
+    inline table) returns None and the caller keeps its broadcast-join
+    plan, so at production dictionary scale the decision flips automatically
+    (same contract as fan_out_small_scan below: derived from the actual
+    plan, never a constant tuned to this sandbox).
+    """
+    try:
+        proj = df.select(*cols)
+        plan = proj._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+        if plan.data().size() > max_rows:
+            return None
+        return proj.collect()  # LocalTableScan: driver-side, no tasks
+    except Exception:
+        return None
+
+
 def fan_out_small_scan(df, min_factor: int = 1):
     """Round-robin repartition a scan whose partition count is below the
     session's parallelism; NO-OP when the scan is already parallel.

@@ -35,8 +35,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kgtm.schemas import ONTOLOGY_INDEX_SCHEMA, ONTOLOGY_SNAPSHOTS_SCHEMA
-
 DICT_HOST = "onto.example.org"
 UNKNOWN_HOST = "unknown.example.net"
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -195,17 +193,54 @@ def ontology_snapshot_rows() -> list[tuple]:
     return rows
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def local_index_df(spark: SparkSession, rows: list[tuple[str, str, str, str]]) -> DataFrame:
+    """Ontology-index rows as a driver-local plan LITERAL (LocalRelation).
+
+    Round 7 (guide §1 measured): ``spark.createDataFrame(rows, schema)``
+    parallelizes even 5 literal rows into defaultParallelism Python tasks,
+    so every dim build ran a 32-task Python-runner job (~0.3 s per query —
+    and do NOT coalesce(1) it either: a no-shuffle coalesce makes ONE task
+    pull all 32 parent partitions sequentially, ~3.3 s, measured). An inline
+    ``VALUES`` table resolves to a LocalRelation — no RDD, no Python tasks,
+    no scan stage at all (measured 0.32 s → 0.05 s per dim build) — and it
+    is what arms the literal-probe fast paths in kgtm.link / kgtm.resolve
+    (session.local_literal_rows).
+    """
+    vals = ",\n".join(
+        f"({_sql_str(iri)}, {_sql_str(h)}, {_sql_str(p)}, {_sql_str(t)})"
+        for iri, h, p, t in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM (VALUES\n{vals}) AS ontology_index(ontology_iri, host, path, iri_type)"
+    )
+
+
 def ontology_index_df(spark: SparkSession) -> DataFrame:
-    # NOTE(round 7): do NOT coalesce(1) these literal frames — a no-shuffle
-    # coalesce makes ONE task pull all 32 Python-parallelized parent
-    # partitions sequentially (~3.3 s of serial Python-runner round-trips,
-    # measured), turning every downstream dim broadcast into the slowest
-    # stage of the query. The 32-task aggregate stages they feed cost ~40 ms.
-    return spark.createDataFrame(ontology_index_rows(), ONTOLOGY_INDEX_SCHEMA)
+    return local_index_df(spark, ontology_index_rows())
 
 
 def ontology_snapshots_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ontology_snapshot_rows(), ONTOLOGY_SNAPSHOTS_SCHEMA)
+    # Same LocalRelation rationale as local_index_df. deps arrays are
+    # foldable array(...) expressions, so the inline table still resolves
+    # to a LocalRelation (empty deps need an explicit element type).
+    def deps_sql(deps: list[str]) -> str:
+        if not deps:
+            return "CAST(array() AS ARRAY<STRING>)"
+        return "array(" + ", ".join(_sql_str(d) for d in deps) + ")"
+
+    vals = ",\n".join(
+        f"({_sql_str(iri)}, TIMESTAMP '{ts.isoformat(sep=' ')}', "
+        f"{_sql_str(snap)}, {_sql_str(url)}, {deps_sql(deps)})"
+        for iri, ts, snap, url, deps in ontology_snapshot_rows()
+    )
+    return spark.sql(
+        "SELECT * FROM (VALUES\n"
+        f"{vals}) AS snapshots(ontology_iri, version_ts, snapshot_iri, file_url, deps)"
+    )
 
 
 def mutated_index_rows() -> list[tuple[str, str, str, str]]:

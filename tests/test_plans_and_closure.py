@@ -20,11 +20,32 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_linking_uses_broadcast_join(spark, events):
-    """The dictionary side must broadcast — the fact side never shuffles for
-    the probe (SURVEY §4: 'broadcast of the compact dictionary')."""
+def test_linking_local_dict_is_literal_probe_zero_joins(spark, events):
+    """Round 7: a small driver-local dictionary folds into the plan as a map
+    LITERAL — the link must run ZERO joins, zero exchanges beyond the
+    transcript adapter's own repartition, and no aggregation (guide §2.4:
+    remove shuffles outright; the reference's dictionary is an in-memory
+    set)."""
     tr = events_to_transcripts(events)
     linked = link_mentions(extract_mentions(tr), ontology_index_df(spark))
+    plan = _plan(linked)
+    assert "Join" not in plan  # no join of any strategy
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    # exactly the adapter's repartition exchange, nothing dictionary-side
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_linking_nonlocal_dict_uses_broadcast_join(spark, events):
+    """A dictionary that is NOT a plan literal (e.g. RDD-parallelized or
+    parquet-backed) must keep the broadcast-join ladder: the dictionary side
+    broadcasts, the fact side never shuffles for the probe (SURVEY §4)."""
+    from kgtm.transcripts import ontology_index_rows
+    from kgtm.schemas import ONTOLOGY_INDEX_SCHEMA
+
+    tr = events_to_transcripts(events)
+    rdd_index = spark.createDataFrame(ontology_index_rows(), ONTOLOGY_INDEX_SCHEMA)
+    linked = link_mentions(extract_mentions(tr), rdd_index)
     plan = _plan(linked)
     assert "BroadcastHashJoin" in plan
     # the ladder probe join must NOT be a sort-merge join
@@ -32,15 +53,19 @@ def test_linking_uses_broadcast_join(spark, events):
 
 
 def test_broadcast_ladder_plan_is_one_broadcast_join_no_agg(spark, events):
-    """The large-dictionary ladder (link.broadcast_ladder_link) must plan as
-    exactly ONE broadcast hash join on the probe side with NO aggregation and
-    NO sort-merge join — the properties that make it append-safe in streaming
-    and O(1)-plan-size in |dictionary| (the map side aggregates on the STATIC
-    dictionary side only, before the broadcast exchange)."""
+    """The large-dictionary ladder (link.broadcast_ladder_link on a
+    NON-literal index) must plan as exactly ONE broadcast hash join on the
+    probe side with NO aggregation and NO sort-merge join — the properties
+    that make it append-safe in streaming and O(1)-plan-size in |dictionary|
+    (the map side aggregates on the STATIC dictionary side only, before the
+    broadcast exchange)."""
     from kgtm.link import broadcast_ladder_link
+    from kgtm.transcripts import ontology_index_rows
+    from kgtm.schemas import ONTOLOGY_INDEX_SCHEMA
 
     tr = events_to_transcripts(events)
-    linked = broadcast_ladder_link(extract_mentions(tr), ontology_index_df(spark))
+    rdd_index = spark.createDataFrame(ontology_index_rows(), ONTOLOGY_INDEX_SCHEMA)
+    linked = broadcast_ladder_link(extract_mentions(tr), rdd_index)
     plan = _plan(linked)
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
@@ -50,6 +75,21 @@ def test_broadcast_ladder_plan_is_one_broadcast_join_no_agg(spark, events):
     assert "HashAggregate" not in probe_side
     # probe side stays whole-stage-codegen (no Python UDF in the ladder)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_literal_probe_matches_broadcast_ladder(spark, events):
+    """The literal fast path and the broadcast-join ladder must produce
+    identical rows on the same corpus+dictionary (the round-7 rewrite's
+    equivalence pin)."""
+    from kgtm.transcripts import ontology_index_rows
+    from kgtm.schemas import ONTOLOGY_INDEX_SCHEMA
+
+    m = extract_mentions(events_to_transcripts(events))
+    lit = link_mentions(m, ontology_index_df(spark))
+    rdd_index = spark.createDataFrame(ontology_index_rows(), ONTOLOGY_INDEX_SCHEMA)
+    bc = link_mentions(m, rdd_index)
+    assert lit.exceptAll(bc).count() == 0
+    assert bc.exceptAll(lit).count() == 0
 
 
 def test_flagship_resolution_joins_broadcast(spark, events):
