@@ -84,10 +84,22 @@ def with_shingles(
     n: int = 3,
     out: str = "sh",
 ) -> DataFrame:
-    """(id, sh) with the words split staged as its own projection."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_w"),
+    """(id, sh) with the words split staged as its own projection.
+
+    The narrow (id, text) projection is fanned out to the session's
+    parallelism BEFORE the split/gram work (round 7, guide §2.5): an
+    under-parallel input (one-row-group fixture, a coalesced upstream)
+    would otherwise run the whole shingling — and any downstream
+    AQE-broadcast probe pipelined onto it — in a single task. No-op when
+    the input is already parallel."""
+    from kgtm.session import ensure_min_parallelism
+
+    base = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+    return base.select(
+        "id",
+        F.split(F.trim(F.lower(F.col("_t"))), r"\s+").alias("_w"),
     ).select("id", grams_expr("_w", n).alias(out))
 
 

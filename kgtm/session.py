@@ -90,6 +90,48 @@ def local_literal_rows(df, cols: list[str], max_rows: int):
         return None
 
 
+#: ensure_min_parallelism sizing: one task per this many input bytes for
+#: expression-heavy text work (shingling/gram digests process ~1-2 MB/s/core,
+#: so 64 KB ≈ tens of ms per task — big enough to amortize task launch,
+#: small enough that a 600 KB fixture still gets ~9-way parallelism).
+#: Only relevant in the under-parallel regime: any input whose scan already
+#: carries >= the session's parallelism is returned unchanged.
+_BYTES_PER_TEXT_TASK = 64 * 1024
+
+
+def ensure_min_parallelism(df):
+    """Round-robin repartition an under-parallel ``df`` to a size-derived
+    task count; unchanged when the plan already has enough partitions (then
+    NO extra exchange exists at production scale — the decision derives
+    from the actual plan, like fan_out_small_scan).
+
+    Round 7 (guide §2.5 input skew, measured): a one-row-group parquet
+    fixture scans as ONE task, and everything pipelined into that stage —
+    shingling, gram digests, signature UDFs, and even the PROBE side of a
+    downstream AQE-broadcast join — runs serially on one core (event-log
+    stage profile: 0.47 s + 0.89 s single-task stages inside a 1.4 s
+    ngram_jaccard run). The target is sized from the plan's byte estimate,
+    NOT blindly to the core count: a measured sweep at sf0.1 gave 1.21 s
+    (8-way) vs 2.08 s (serial) vs 3.60 s (64-way — per-task scheduling
+    overhead dominates tiny partitions). Callers repartition the narrow
+    (id, text) projection so only needed columns cross the exchange
+    (guide §2.3)."""
+    spark = df.sparkSession
+    para = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= para:
+        return df
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        target = max(1, min(para, -(-size // _BYTES_PER_TEXT_TASK)))
+    except Exception:
+        target = para
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def fan_out_small_scan(df, min_factor: int = 1):
     """Round-robin repartition a scan whose partition count is below the
     session's parallelism; NO-OP when the scan is already parallel.

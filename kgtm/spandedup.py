@@ -99,8 +99,16 @@ def gram_instances(
     L = int(min_words)
     if L < 2:
         raise ValueError(f"min_words must be >= 2, got {min_words}")
+    from kgtm.session import ensure_min_parallelism
+
+    # fan the narrow (id, text) projection out BEFORE the per-position gram
+    # digests (round 7, guide §2.5): an under-parallel input runs the whole
+    # explode+md5 pipeline in one task otherwise; no-op when already parallel
+    base = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
     return (
-        df.select(F.col(id_col).alias("id"), _words_orig_case(text_col).alias("w"))
+        base.select("id", _words_orig_case("_t").alias("w"))
         .filter(F.size("w") >= L)
         .select(
             "id", "w", F.explode(F.sequence(F.lit(0), F.size("w") - L)).alias("pos")
