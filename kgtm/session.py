@@ -147,7 +147,23 @@ def fan_out_small_scan(df, min_factor: int = 1):
     layout, never from a constant tuned to this sandbox.
     """
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism * min_factor
+    para = spark.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() >= para:
+        return df
+    # Size-derived task count, like ensure_min_parallelism (round 7): a
+    # blanket fan-out to the core count makes every downstream stage — and
+    # every pandas-UDF evaluation — pay per-task/per-Python-worker overhead
+    # on near-empty partitions (measured: 32-way fan-out of the 2,000-row
+    # embedding fixture costs ~0.33 s per UDF stage in 32 worker
+    # round-trips; the 64 KB/task sizing gives ~12 partitions and the same
+    # serial-escape).
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        target = max(1, min(para, -(-size // _BYTES_PER_TEXT_TASK)))
+    except Exception:
+        target = para
     if df.rdd.getNumPartitions() >= target:
         return df
     # lazy checkpoint: operators consume their input table from several
