@@ -833,9 +833,14 @@ def _q_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr = _transcripts(spark, sf_dir)
     triples = extract_triples(tr)
+    # round 7: filter before the explode, like build_triples (guide §3.3)
+    _empty = F.array().cast("array<string>")
+    surf_arr = F.concat(
+        F.when(F.col("subj").startswith("http"), F.array("subj")).otherwise(_empty),
+        F.when(F.col("obj").startswith("http"), F.array("obj")).otherwise(_empty),
+    )
     surfaces = (
-        triples.select(F.explode(F.array("subj", "obj")).alias("surface"))
-        .filter(F.col("surface").startswith("http"))
+        triples.select(F.explode(surf_arr).alias("surface"))
         .distinct()
         .select("surface", *parse_iri_cols("surface"))
     )

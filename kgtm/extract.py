@@ -30,6 +30,16 @@ from kgtm.normalize import parse_iri_cols
 
 IRI_REGEX = r"https?://[A-Za-z0-9.\-]+(?:/[A-Za-z0-9./#_\-]*)?"
 
+# Possessive twin of IRI_REGEX for the JVM codegen hot paths (round 7):
+# ++/*+/?+ pin each quantifier to its maximal run, eliminating backtracking
+# state. EQUIVALENT here, not just similar: every possessive class is
+# disjoint from the character the pattern requires next (host/path classes
+# exclude whitespace and '/', \s excludes letters), so no shorter run can
+# ever succeed where the maximal one fails — verified output-identical on
+# the sf0.1 corpus and pinned by the extract_triples==arrow parity test.
+# Measured: amplified span extraction 1.91 s -> 1.74 s.
+IRI_REGEX_P = r"https?://[A-Za-z0-9.\-]++(?:/[A-Za-z0-9./#_\-]*+)?+"
+
 # Verb lexicon for the rule-based SVO extractor (co-designed with kgtm.synth's
 # planted relation sentences but a separate code path — the golden triples are
 # planted at generation time, never derived from this extractor).
@@ -57,7 +67,7 @@ _SVO_RE = re.compile(
 def iri_mentions_col(text: str | Column = "text") -> Column:
     """array<string> of IRIs found in a text column (pure codegen expr)."""
     t = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(t, F.lit(f"({IRI_REGEX})"), 1)
+    return F.regexp_extract_all(t, F.lit(f"({IRI_REGEX_P})"), 1)
 
 
 def mention_id_col() -> Column:
@@ -149,10 +159,12 @@ svo_extract_udf = F.pandas_udf(svo_extract_series, ArrayType(_TRIPLE_ELEM))
 # Codegen twin of _SVO_RE: one capture of the whole "subj pred obj" span.
 # Subjects/verbs/IRIs are space-free tokens, so split-by-space recovers the
 # three groups without sub-captures (regexp_extract_all yields one group).
+# Possessive quantifiers per IRI_REGEX_P's equivalence note (word classes
+# exclude \s, \s excludes verb letters — no backtrack can change a match).
 _SVO_SPAN_REGEX = (
-    r"((?:[A-Za-z][\w.\-]*|" + IRI_REGEX + r")\s+"
-    r"(?:" + "|".join(SVO_VERBS) + r")\s+"
-    r"(?:" + IRI_REGEX + r"|[A-Z][\w.\-]*))"
+    r"((?:[A-Za-z][\w.\-]*+|" + IRI_REGEX_P + r")\s++"
+    r"(?:" + "|".join(SVO_VERBS) + r")\s++"
+    r"(?:" + IRI_REGEX_P + r"|[A-Z][\w.\-]*+))"
 )
 
 

@@ -91,9 +91,19 @@ def build_triples(
     from kgtm.link import link_surfaces
     from kgtm.normalize import parse_iri_cols
 
+    # Filter BEFORE the explode (round 7, guide §3.3 "explode multiplies"):
+    # non-IRI terms (most subjects) never become generated rows, halving the
+    # explode output feeding the distinct. when+concat of arrays, not a
+    # higher-order filter() — lambdas are CodegenFallback (the ladder-probe
+    # lesson). Measured 2.42 s -> 2.15 s on the surfaces subtree at
+    # amplify=30; output identical (exceptAll both ways empty).
+    _empty = F.array().cast("array<string>")
+    surf_arr = F.concat(
+        F.when(F.col("subj").startswith("http"), F.array("subj")).otherwise(_empty),
+        F.when(F.col("obj").startswith("http"), F.array("obj")).otherwise(_empty),
+    )
     surfaces = (
-        triples.select(F.explode(F.array("subj", "obj")).alias("surface"))
-        .filter(F.col("surface").startswith("http"))
+        triples.select(F.explode(surf_arr).alias("surface"))
         .distinct()
         .select("surface", *parse_iri_cols("surface"))
     )
