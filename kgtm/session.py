@@ -46,6 +46,23 @@ def get_spark(
         # this is what turns a skewed 1000-way shuffle into a balanced one.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Round 7 (guide §2.2/§2.5): AQE's parallelism-first coalescing
+        # floors post-shuffle partitions at minPartitionSize (default 1 MB).
+        # For expression-heavy stages after a SMALL shuffle that floor
+        # serializes the work onto 2-5 tasks (a 3 MB exchange -> 3 tasks for
+        # the window/text/probe pipeline above it); 256 KB keeps those
+        # stages parallel while still amortizing task launch thousands of
+        # times over. The knob only binds when coalescing would otherwise
+        # create sub-256 KB partitions — i.e. small shuffles, where finer
+        # partitions ARE the parallelismFirst intent; at production scale
+        # partitions are advisory-sized (MBs-GBs) and this has no effect.
+        # Measured (5-rep medians, sf0.1): resolution_outcomes 0.91->0.49,
+        # flagship_triples 0.77->0.33, failover 1.04->0.63, relink
+        # 0.65->0.48, turn_assembly 0.59->0.47.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("KGTM_AQE_MIN_PARTITION", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas UDF / mapInPandas stage (zero per-row Python).
