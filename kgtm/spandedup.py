@@ -123,28 +123,58 @@ def gram_instances(
     )
 
 
+def _merged_span_arrays(dups: DataFrame) -> DataFrame:
+    """(id, spans: array<struct<s,e>>) — maximal merged intervals per doc,
+    sorted by start, in ONE aggregation.
+
+    Round 7 (guide §2.4): the previous gaps-and-islands chain — two
+    windows over (id, pos), a groupBy(id, isl) re-keyed aggregation (its
+    own exchange: (id, isl) hashes differently than id) and a final
+    groupBy(id) collect — is replaced by sort_array(collect_list) + an
+    expression fold that merges an interval into the last span when it
+    overlaps or touches it (instances arrive pos-sorted and all spans have
+    equal length, so e is nondecreasing — the fold's last-span check
+    equals the old running-max test). One exchange on id, no window sort,
+    two fewer aggregates. The fold is an interpreted higher-order
+    aggregate, but it runs only over span-touched docs on <= n_words/L
+    elements each. Equivalence is pinned by the substring_dedup oracle row
+    and tests/test_spandedup.py.
+
+    The NULL-guard shape: F.get returns NULL on an empty accumulator (the
+    ANSI-safe accessor — the verify-skill gotcha), a NULL comparison makes
+    the when() fall through, and the first interval is pushed whole.
+    """
+    inst = F.array_sort(F.collect_list(F.struct("pos", "e")))
+
+    def step(acc, x):
+        last = F.get(acc, F.size(acc) - 1)
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], x["e"]).alias("e"),
+                )
+            ),
+        )
+        grown = F.concat(
+            acc, F.array(F.struct(x["pos"].alias("s"), x["e"].alias("e")))
+        )
+        return F.when(x["pos"] <= last["e"] + 1, merged).otherwise(grown)
+
+    empty = F.expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")
+    return dups.groupBy("id").agg(
+        F.aggregate(inst, empty, step).alias("spans")
+    )
+
+
 def _merge_intervals(dups: DataFrame) -> DataFrame:
-    """(id, s, e) maximal merged intervals from (id, pos, e) instance rows:
-    gaps-and-islands over covered intervals — a new island starts when
-    this instance's start exceeds the running max end + 1 (adjacent
-    intervals merge; the covered index set is what matters)."""
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    marked = dups.select(
-        "id",
-        "pos",
-        "e",
-        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1)
-        .otherwise(0)
-        .alias("brk"),
-    )
-    isl = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return (
-        marked.select("id", "pos", "e", isl.alias("isl"))
-        .groupBy("id", "isl")
-        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
-        .select("id", "s", "e")
-    )
+    """(id, s, e) row form of :func:`_merged_span_arrays` (public
+    dup_spans contract / tests); internal callers consume the array form
+    directly and skip this explode."""
+    return _merged_span_arrays(dups).select(
+        "id", F.explode("spans").alias("sp")
+    ).select("id", F.col("sp.s").alias("s"), F.col("sp.e").alias("e"))
 
 
 def dup_spans(
@@ -184,8 +214,20 @@ def substring_dedup(
     every duplicated >= min_words-word span removed except its first
     occurrence (module docstring has the full contract). Untouched
     documents keep their text byte-identically."""
-    spans = dup_spans(df, text_col, id_col, min_words)
-    return _apply_spans(df, spans, text_col, id_col)
+    L = int(min_words)
+    grams = gram_instances(df, text_col, id_col, min_words)
+    per_gram = grams.groupBy("gh").agg(
+        F.min(F.struct("id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dups = (
+        grams.join(per_gram.filter(F.col("cnt") > 1), "gh")
+        .filter(
+            (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("id", "pos", (F.col("pos") + L - 1).alias("e"))
+    )
+    return _apply_span_arrays(df, _merged_span_arrays(dups), text_col, id_col)
 
 
 def _apply_spans(
@@ -195,11 +237,22 @@ def _apply_spans(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Cut the (id, s, e) spans out of each document's words and emit the
-    (id_col, text, n_words, n_words_removed, n_spans) result frame — the
-    shared tail of the full and incremental paths."""
+    (id_col, text, n_words, n_words_removed, n_spans) result frame — row-
+    form entry (collects spans per doc first); the internal paths hand
+    :func:`_apply_span_arrays` the already-merged arrays directly."""
     spans_arr = spans.groupBy("id").agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans")
     )
+    return _apply_span_arrays(df, spans_arr, text_col, id_col)
+
+
+def _apply_span_arrays(
+    df: DataFrame,
+    spans_arr: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared cut tail over (id, spans-array) rows — see _apply_spans."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")).join(
         spans_arr, "id", "left"
     )
@@ -350,7 +403,9 @@ def incremental_substring_dedup(
         .distinct()
         .select("id", "pos", (F.col("pos") + L - 1).alias("e"))
     )
-    deduped = _apply_spans(batch, _merge_intervals(dups), text_col, id_col)
+    deduped = _apply_span_arrays(
+        batch, _merged_span_arrays(dups), text_col, id_col
+    )
     new_state = new_ghs.select(
         "gh", F.pmod(F.xxhash64("gh"), F.lit(N_GRAM_BUCKETS)).alias("sb")
     )
