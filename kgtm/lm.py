@@ -174,7 +174,9 @@ def bucket_by_nll(
 
     Bucket index = number of boundaries STRICTLY below the score (a score
     exactly on a boundary goes to the LOWER bucket — deterministic tie
-    rule, twin-pinned). Pass a precomputed ``thresholds`` frame (e.g. from
+    rule, twin-pinned). A NULL score yields a NULL nll_bucket/bucket_label
+    (pinned in both engines since round 7 — unreachable via unigram_nll,
+    but the public API accepts arbitrary scored frames). Pass a precomputed ``thresholds`` frame (e.g. from
     a trusted reference corpus, CCNet's actual setup) to decouple boundary
     estimation from assignment; by default boundaries come from ``scored``
     itself.
@@ -189,6 +191,25 @@ def bucket_by_nll(
         )
     if thresholds is None:
         thresholds = nll_bucket_thresholds(scored, n_buckets, score_col)
+    else:
+        # round-6 ADVICE: an externally supplied frame with a different
+        # bucket count would index past the label array (ANSI error), and
+        # a multi-row frame silently multiplies every scored row through
+        # the crossJoin — validate both with one bounded collect (the
+        # frame is one row by contract).
+        rows = thresholds.limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"thresholds must have exactly one row, got {len(rows)} "
+                "(a multi-row frame would multiply every scored row "
+                "through the crossJoin)"
+            )
+        arr = rows[0]["_thresholds"]
+        if arr is None or len(arr) != n_buckets - 1:
+            raise ValueError(
+                f"thresholds._thresholds has {None if arr is None else len(arr)} "
+                f"boundaries; n_buckets={n_buckets} needs {n_buckets - 1}"
+            )
     idx = F.aggregate(
         "_thresholds",
         F.lit(0),
@@ -199,11 +220,18 @@ def bucket_by_nll(
         *cols, idx.alias("nll_bucket")
     )
     if labels is not None:
+        # explicit NULL pin (round-6 ADVICE): without the guard a NULL
+        # bucket index reached element_at with a NULL position, whose
+        # result is engine-quirky — the label must be NULL exactly when
+        # the score is (twin-pinned, test_bucket_by_nll_null_score_parity)
         out = out.select(
             *cols,
             "nll_bucket",
-            F.element_at(
-                F.array(*[F.lit(x) for x in labels]), F.col("nll_bucket") + 1
+            F.when(
+                F.col("nll_bucket").isNotNull(),
+                F.element_at(
+                    F.array(*[F.lit(x) for x in labels]), F.col("nll_bucket") + 1
+                ),
             ).alias("bucket_label"),
         )
     return out

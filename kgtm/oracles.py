@@ -1971,11 +1971,13 @@ def q_nll_buckets(top_v: int | None = None) -> str:
                  x -> round(x, 6)) AS t
         FROM scored)
       SELECT s.doc_id, s.n_tokens, s.n_oov, s.nll_bits,
-             CAST(len(list_filter(th.t, x -> s.nll_bits > x)) AS INT)
-               AS nll_bucket,
-             (['head', 'middle', 'tail'])[
-               len(list_filter(th.t, x -> s.nll_bits > x)) + 1]
-               AS bucket_label
+             CASE WHEN s.nll_bits IS NULL THEN NULL
+                  ELSE CAST(len(list_filter(th.t, x -> s.nll_bits > x)) AS INT)
+             END AS nll_bucket,
+             CASE WHEN s.nll_bits IS NULL THEN NULL
+                  ELSE (['head', 'middle', 'tail'])[
+                    len(list_filter(th.t, x -> s.nll_bits > x)) + 1]
+             END AS bucket_label
       FROM scored s, th
     """
 

@@ -76,7 +76,16 @@ def main() -> None:
             (F.col("doc_id") * a + F.col("rep")).alias("doc_id"),
             mutated.alias("text"),
         )
-        state_path = work / f"state_x{a}"
+        # round-6 ADVICE: key the cached state by CORPUS identity too, not
+        # just the amplification factor — a changed SPARK_GRAFT_SF_DIR must
+        # not silently reuse another corpus's state (the bench_scaling
+        # _AMPLIFY-marker lesson)
+        import hashlib
+
+        corpus_key = hashlib.md5(
+            str(Path(sf_dir).resolve()).encode()
+        ).hexdigest()[:10]
+        state_path = work / f"state_{corpus_key}_x{a}"
         if not (state_path / "_SUCCESS").exists():
             span_gram_state(old, min_words=20).write.mode("overwrite").partitionBy(
                 "sb"

@@ -171,6 +171,58 @@ def test_bucket_by_nll_external_thresholds_and_validation(spark):
         nll_bucket_thresholds(trusted, n_buckets=1)
     with pytest.raises(ValueError):
         bucket_by_nll(target, labels=("a", "b"))  # 2 labels, 3 buckets
+    # round-6 ADVICE: an external frame with the wrong boundary count must
+    # be rejected before the crossJoin (it would index past the labels)...
+    with pytest.raises(ValueError):
+        bucket_by_nll(target, thresholds=nll_bucket_thresholds(trusted, 5), n_buckets=3)
+    # ...and so must a multi-row frame (it would multiply every scored row)
+    with pytest.raises(ValueError):
+        bucket_by_nll(target, thresholds=th.unionByName(th))
+
+
+def test_bucket_by_nll_null_score_parity(spark):
+    """Round-6 ADVICE low: a NULL score must yield a NULL bucket/label in
+    BOTH engines (the twin's list_filter used to drop the NULL predicate
+    and assign 'head'). Unreachable via unigram_nll, but the public API
+    accepts arbitrary scored frames."""
+    import duckdb
+
+    from kgtm import oracles
+    from kgtm.lm import bucket_by_nll
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "nll_bits": [1.0, None, 3.0, 5.0]}
+    )
+    out = {r.doc_id: r for r in bucket_by_nll(spark.createDataFrame(pdf)).collect()}
+    assert out[2].nll_bucket is None and out[2].bucket_label is None
+    # twin parity on the same planted frame (thresholds over non-NULL rows
+    # match quantile_cont semantics; the NULL row must come back NULL)
+    con = duckdb.connect()
+    con.register("scored_planted", pdf)
+    twin = con.execute(
+        """
+        WITH scored AS (SELECT doc_id, nll_bits FROM scored_planted),
+        th AS (
+          SELECT list_transform(
+                   [quantile_cont(nll_bits, 1.0/3), quantile_cont(nll_bits, 2.0/3)],
+                   x -> round(x, 6)) AS t
+          FROM scored)
+        SELECT s.doc_id,
+               CASE WHEN s.nll_bits IS NULL THEN NULL
+                    ELSE CAST(len(list_filter(th.t, x -> s.nll_bits > x)) AS INT)
+               END AS nll_bucket
+        FROM scored s, th
+        """
+    ).fetchall()
+    twin_buckets = {int(d): b for d, b in twin}
+    assert twin_buckets[2] is None
+    spark_buckets = {
+        d: (None if out[d].nll_bucket is None else int(out[d].nll_bucket))
+        for d in out
+    }
+    # Spark computes boundaries over the SAME frame; percentile ignores
+    # NULLs like quantile_cont, so the non-NULL assignments agree too
+    assert spark_buckets == twin_buckets
 
 
 def test_bucket_by_nll_plan_shape(spark, documents):
