@@ -60,7 +60,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_turn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return assemble_conversations(_transcripts(spark, sf_dir))
+    # round 7: conv-keyed adapter — the assembly groupBy("conv_id") reuses
+    # the adapter's exchange instead of re-shuffling (guide §2.4)
+    return assemble_conversations(
+        events_to_transcripts(_events(spark, sf_dir), key_by_conv=True)
+    )
 
 
 def _q_mention_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:

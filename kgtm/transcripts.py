@@ -49,7 +49,9 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 # text = 'the agent uses <iri> while discussing <event_type> k=<k>'
 
 
-def events_to_transcripts(events: DataFrame) -> DataFrame:
+def events_to_transcripts(
+    events: DataFrame, key_by_conv: bool = False
+) -> DataFrame:
     """Deterministic transcripts view over the events table.
 
     turn_idx is a dense 0-based row_number per user ordered by (ts, event_id):
@@ -81,10 +83,24 @@ def events_to_transcripts(events: DataFrame) -> DataFrame:
     k = F.coalesce(
         F.regexp_extract("props", r"([0-9]+)", 1).try_cast("long"), F.lit(0)
     )
+    # ``key_by_conv``: exchange + window keyed by the conv_id STRING instead
+    # of user_id. conv_id is an injective function of user_id, so the
+    # partitions (and thus turn_idx) are identical — but a downstream
+    # groupBy("conv_id") (turn assembly) then REUSES this exchange instead
+    # of re-shuffling (guide §2.4; measured 0.38 -> 0.27 s, plan 2
+    # exchanges -> 1, outputs identical). Off by default: the string key
+    # costs ~5 extra serialized bytes/row on the map side, which the
+    # amplified flagship's single-task exchange measurably pays.
+    key = (
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id")
+        if key_by_conv
+        else F.col("user_id")
+    )
+    key_name = "conv_id" if key_by_conv else "user_id"
     narrow = (
-        events.select("user_id", "ts", "event_id", "event_type", "props")
-        .repartition("user_id")
-        .select("user_id", "ts", "event_id", "event_type", k.alias("k"))
+        events.select(key, "ts", "event_id", "event_type", "props")
+        .repartition(key_name)
+        .select(key_name, "ts", "event_id", "event_type", k.alias("k"))
     )
     kk = F.col("k")
     host = F.when(kk % 10 == 9, F.lit(UNKNOWN_HOST)).otherwise(F.lit(DICT_HOST))
@@ -96,9 +112,16 @@ def events_to_transcripts(events: DataFrame) -> DataFrame:
         .when(variant == 3, F.concat(F.lit("https://"), host, F.lit("/"), F.col("event_type")))
         .otherwise(base)
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy(key_name).orderBy("ts", "event_id")
+    conv_out = (
+        F.col("conv_id")
+        if key_by_conv
+        else F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias(
+            "conv_id"
+        )
+    )
     return narrow.select(
-        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        conv_out,
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.concat(
