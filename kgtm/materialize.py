@@ -167,7 +167,20 @@ def write_table(
     re-runs).
     """
     spark = df.sparkSession
-    commit_id = uuid.uuid4().hex[:12]
+    # ROUND-7 HANG FIX — the leading letter is load-bearing. Commit ids
+    # become partition directory names (table/commit=<id>), and Spark's
+    # partition-value TYPE INFERENCE tries to parse each value as a number
+    # first. A bare 12-hex id matches `<digits>e<digits>` with p≈0.4%
+    # (e.g. the observed commit=20e519984576), which scientific-notation-
+    # parses as 20·10^519984576: BigDecimal.setScale then computes a
+    # 519-million-digit power of ten and the READER's analysis phase burns
+    # driver CPU for hours (jstack: Thread-3 in BigInteger.multiply under
+    # PartitioningUtils.inferPartitionColumnValue). An all-digit id
+    # (p≈0.3%) is quieter but worse: the commit column silently infers as
+    # bigint for that store and the manifest-id string comparisons
+    # misbehave. A leading letter makes every commit value
+    # unparseable-as-anything-but-string, closing both failure modes.
+    commit_id = "c" + uuid.uuid4().hex[:11]
     # Iceberg-style commit protocol on plain parquet: each commit writes into
     # its OWN directory (triples/commit=<id>/...), and the commit becomes
     # visible only when its manifest lands in _commits/. Readers resolve the
