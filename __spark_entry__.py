@@ -891,11 +891,11 @@ def _q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _new_index(spark: SparkSession) -> DataFrame:
-    from kgtm.transcripts import mutated_index_rows
+    from kgtm.transcripts import local_index_df, mutated_index_rows
 
-    return spark.createDataFrame(
-        mutated_index_rows(), ontology_index_df(spark).schema
-    )
+    # round 7: plan-literal like ontology_index_df, so the relink refresh
+    # leg takes the zero-join literal ladder probe (kgtm.link)
+    return local_index_df(spark, mutated_index_rows())
 
 
 def _q_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
