@@ -37,7 +37,7 @@ def brute_topk(
     dot product; rank via per-query window with deterministic tie-break.
     """
     q = F.broadcast(
-        queries.select(
+        _compact_query_side(queries).select(
             F.col(id_col).alias("query_id"), unit_vector_expr(vec_col).alias("qv")
         )
     )
@@ -123,6 +123,27 @@ def bucket_codes_series_factory(
     return codes
 
 
+def _compact_query_side(queries: DataFrame) -> DataFrame:
+    """coalesce(1) a provably tiny query frame (plan estimate <= 1 MiB).
+
+    Round 7 (guide §4.1, minimize boundary crossings): ANN query batches
+    are small by contract, but a query frame sliced from a fanned-out
+    corpus inherits its ~12-way partitioning, so every pandas-UDF over it
+    pays one Python-worker round-trip per near-empty partition. A
+    no-shuffle coalesce of a tiny frame is one cheap task; frames that are
+    not provably small pass through untouched (the decision reads the
+    plan's byte estimate, not a sandbox constant)."""
+    try:
+        size = int(
+            str(queries._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return queries
+    if size > (1 << 20):
+        return queries
+    return queries.coalesce(1)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -134,6 +155,7 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within LSH bucket candidates only."""
+    queries = _compact_query_side(queries)
     dim = len(corpus.select(vec_col).first()[0])
     c_udf = F.pandas_udf(
         bucket_codes_series_factory(dim, n_tables, planes_per_table, seed, False),
@@ -310,6 +332,7 @@ def ivf_topk(
     The 100 TB shape: corpus is assigned once (a write-time partitioning in
     production), each query touches nprobe/n_centroids of the corpus.
     """
+    queries = _compact_query_side(queries)
     C = kmeans_fit(corpus, vec_col, id_col, k=n_centroids)
 
     from pyspark.sql.types import ArrayType, IntegerType
